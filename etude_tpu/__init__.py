@@ -1,0 +1,22 @@
+"""Etude-TPU: a TPU-native (JAX/XLA/Pallas) controllable piano-cover-generation
+framework.
+
+Re-implements the full capability surface of the reference Etude framework
+(three-stage Extract / Structuralize / Decode pipeline, training, data prep and
+evaluation) as an idiomatic JAX stack: every neural stage is a jit-compiled XLA
+graph, generation is a KV-cached on-device sampling loop, and training is a
+pjit data-parallel step over a `jax.sharding.Mesh`.
+
+Layout (mirrors reference layer map, SURVEY.md §1):
+  config/      typed config schema + YAML loader
+  utils/       logger, MIDI I/O, audio I/O, checkpointing
+  data/        vocab, REMI tokenizer, dataset, extractor/beat/aligner pipelines
+  models/      decoder (GPT-NeoX style), AMT hFT transformer, beat transformer,
+               source separator
+  ops/         mel frontend, on-device sampling, DBN viterbi, peak picking,
+               dilated attention
+  parallel/    mesh construction + sharded train/infer steps
+  evaluation/  WPD / RGC / IPE metrics + reporting
+"""
+
+__version__ = "0.1.0"
