@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark: EtudeDecoder autoregressive generation throughput on one chip.
+
+Measures the KV-cached on-device generation engine (prefill + sampled decode
+under one jit) in decoder tokens/sec — the hot loop of the reference's decode
+stage (BASELINE.json metric "decoder tokens/sec").
+
+vs_baseline compares against REF_TOKENS_PER_SEC, an estimate of the
+reference's Python token-at-a-time loop (per-step host sync + per-bar KV
+rebuild, etude/models/etude_decoder.py:299-343) on its stated hardware class
+(>=16GB GPU): ~100 tok/s for the 25M-param decoder. The reference publishes
+no throughput numbers (BASELINE.json "published": {}), so this constant is an
+engineering estimate kept fixed across rounds for comparability.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_TOKENS_PER_SEC = 100.0
+
+# Benchmark shape: one song's worth of bars, full-size model, batch of
+# attribute streams like the 27-combo sweep.
+N_BARS = 8
+BATCH = 4
+MAX_BAR_TOKENS = 128
+
+
+def main() -> None:
+    from etude_tpu.models.decoder import EtudeDecoderConfig, init_params
+    from etude_tpu.models.generate import ATTR_KEYS, GenerationEngine
+
+    config = EtudeDecoderConfig()
+    params = init_params(config, seed=0)
+
+    BOS, EOS = 4, 5
+    engine = GenerationEngine(
+        config, bar_bos_id=BOS, bar_eos_id=EOS,
+        max_bar_token_limit=MAX_BAR_TOKENS,
+        prompt_buckets=(128, 256, 512),
+    )
+
+    rng = np.random.default_rng(0)
+    x_bars = [
+        [BOS] + rng.integers(6, config.vocab_size, size=24).tolist() + [EOS]
+        for _ in range(N_BARS)
+    ]
+    attrs = [{k: 1 for k in ATTR_KEYS} for _ in range(N_BARS)]
+
+    def run(n_bars):
+        streams = engine.generate_batch(
+            params,
+            [x_bars[:n_bars]] * BATCH,
+            [attrs[:n_bars]] * BATCH,
+            temperature=0.8,
+            top_p=0.9,
+            seed=1,
+        )
+        return sum(len(bar) for s in streams for bar in s)
+
+    # Warmup: a full run so every prompt bucket the measured run touches is
+    # already compiled (remote compiles are ~100s each).
+    run(N_BARS)
+
+    t0 = time.perf_counter()
+    n_tokens = run(N_BARS)
+    dt = time.perf_counter() - t0
+
+    tok_per_sec = n_tokens / dt
+    print(json.dumps({
+        "metric": "decoder_tokens_per_sec",
+        "value": round(tok_per_sec, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tok_per_sec / REF_TOKENS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

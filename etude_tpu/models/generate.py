@@ -153,9 +153,13 @@ class GenerationEngine:
         )
         self.context_overlap_ratio = context_overlap_ratio
         # Prompt cap: leave a full generation window inside max_pos.
-        self.prompt_cap = config.max_position_embeddings - self.max_bar_token_limit
+        self.prompt_cap = max(
+            config.max_position_embeddings - self.max_bar_token_limit, 1
+        )
+        # Buckets below the cap, plus the cap itself so every legal prompt
+        # fits some bucket.
         self.prompt_buckets = sorted(
-            {min(b, max(self.prompt_cap, 1)) for b in prompt_buckets}
+            {b for b in prompt_buckets if b < self.prompt_cap} | {self.prompt_cap}
         )
 
     # ---- prompt assembly (host) ---------------------------------------

@@ -1,0 +1,130 @@
+"""Training utilities: seeding and checkpoint persistence.
+
+Checkpoint payload semantics match the reference contract
+(etude/utils/training_utils.py:18-43): model + optimizer state + epoch +
+global step + model config, written to `latest` every save and to
+`epoch_NNNN` copies on scheduled epochs, with resume support. Storage is
+orbax (tensorstore-backed, async-safe) instead of torch pickles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import random
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .logger import logger
+from ..models.decoder import EtudeDecoderConfig
+
+
+def set_seed(seed: int) -> None:
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def _checkpointer() -> ocp.Checkpointer:
+    return ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+
+
+def save_checkpoint(
+    checkpoint_dir: Union[str, Path],
+    state: Any,                      # TrainState (params/opt_state/step/...)
+    epoch: int,
+    global_step: int,
+    model_config: EtudeDecoderConfig,
+    is_save_epoch: bool = False,
+) -> Path:
+    """Write `latest` (always) and an `epoch_NNNN` copy on save epochs."""
+    checkpoint_dir = Path(checkpoint_dir).resolve()
+    checkpoint_dir.mkdir(parents=True, exist_ok=True)
+
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "skipped": state.skipped,
+    }
+    latest = checkpoint_dir / "latest"
+    if latest.exists():
+        shutil.rmtree(latest)
+    _checkpointer().save(latest, payload)
+
+    meta = {
+        "epoch": epoch,
+        "global_step": global_step,
+        "model_config": dataclasses.asdict(model_config),
+    }
+    with open(checkpoint_dir / "metadata.json", "w", encoding="utf-8") as f:
+        json.dump(meta, f, indent=2)
+    model_config.to_json_file(checkpoint_dir / "etude_decoder_config.json")
+
+    if is_save_epoch:
+        epoch_dir = checkpoint_dir / f"epoch_{epoch:04d}"
+        if epoch_dir.exists():
+            shutil.rmtree(epoch_dir)
+        shutil.copytree(latest, epoch_dir)
+        logger.debug(f"checkpoint copied to {epoch_dir}")
+
+    logger.debug(f"checkpoint saved to {latest} (epoch {epoch}, step {global_step})")
+    return latest
+
+
+def load_checkpoint(
+    checkpoint_dir: Union[str, Path],
+    abstract_state: Any,
+    name: str = "latest",
+) -> Tuple[Any, Dict[str, Any]]:
+    """Restore (state, metadata). `abstract_state` supplies the target pytree
+    structure/shardings (e.g. a freshly initialized TrainState)."""
+    checkpoint_dir = Path(checkpoint_dir).resolve()
+    path = checkpoint_dir / name
+    if not path.exists():
+        raise FileNotFoundError(f"no checkpoint at {path}")
+
+    template = {
+        "params": abstract_state.params,
+        "opt_state": abstract_state.opt_state,
+        "step": abstract_state.step,
+        "skipped": abstract_state.skipped,
+    }
+    restored = _checkpointer().restore(path, item=template)
+
+    meta_path = checkpoint_dir / "metadata.json"
+    meta: Dict[str, Any] = {}
+    if meta_path.exists():
+        with open(meta_path, "r", encoding="utf-8") as f:
+            meta = json.load(f)
+
+    state = type(abstract_state)(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+        skipped=restored["skipped"],
+    )
+    logger.debug(f"checkpoint restored from {path}")
+    return state, meta
+
+
+def save_params_only(
+    path: Union[str, Path], params: Any, config: EtudeDecoderConfig
+) -> None:
+    """Inference-weight export: params + config, no optimizer state."""
+    path = Path(path).resolve()
+    if path.exists():
+        shutil.rmtree(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    _checkpointer().save(path, {"params": params})
+    config.to_json_file(path.parent / "etude_decoder_config.json")
+
+
+def load_params_only(path: Union[str, Path], abstract_params: Any) -> Any:
+    path = Path(path).resolve()
+    restored = _checkpointer().restore(path, item={"params": abstract_params})
+    return restored["params"]

@@ -1,22 +1,25 @@
 """Test configuration.
 
-Forces JAX onto the host CPU platform with 8 virtual devices so that
-multi-chip mesh/sharding tests run without TPU hardware. Must run before the
-first `import jax` anywhere in the test session.
+Tests run on the host CPU platform with 8 virtual devices so multi-chip
+mesh/sharding tests work without TPU hardware. The platform override must
+happen before the first JAX backend use: `jax.config.update` beats the
+eagerly-registered TPU (axon) plugin even though sitecustomize loads it at
+interpreter startup.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import jax
-import numpy as np
-import pytest
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: repeated pytest runs skip recompiles.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")

@@ -1,0 +1,159 @@
+import numpy as np
+import pytest
+
+from etude_tpu.data.dataset import (
+    EtudeDataset,
+    LABEL_IGNORE_ID,
+    calculate_bin_edges,
+    compute_relative_attributes,
+    extract_bar_features,
+    split_ids_into_bars,
+)
+from etude_tpu.data.tokenizer import TinyREMITokenizer
+from etude_tpu.data.vocab import Event, Vocab
+
+
+def _make_vocab():
+    v = Vocab()
+    events = [Event("Bar", "BOS"), Event("Bar", "EOS")]
+    for p in range(21, 109):
+        events.append(Event("Note", p))
+    for pos in range(33):
+        events.append(Event("Pos", pos))
+    for d in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32):
+        events.append(Event("Duration", d))
+    v.build_from_events([events])
+    return v
+
+
+def _bar(v, notes):
+    """notes: list of (pos, pitch, dur)."""
+    ids = [v.bar_bos_id]
+    last_pos = None
+    for pos, pitch, dur in notes:
+        if pos != last_pos:
+            ids.append(v.encode(f"Pos_{pos}"))
+            last_pos = pos
+        ids.append(v.encode(f"Note_{pitch}"))
+        ids.append(v.encode(f"Duration_{dur}"))
+    ids.append(v.bar_eos_id)
+    return ids
+
+
+@pytest.fixture(scope="module")
+def vocab():
+    return _make_vocab()
+
+
+def test_bar_features(vocab):
+    bar = _bar(vocab, [(0, 60, 4), (0, 64, 4), (16, 67, 2)])
+    feats = extract_bar_features(bar, vocab)
+    assert feats["note_count"] == 3
+    assert feats["pos_event_count"] == 2
+    assert feats["total_duration_in_16ths"] == 10
+    assert feats["notes_by_position"][0] == [60, 64]
+
+
+def test_relative_attributes(vocab):
+    src = extract_bar_features(_bar(vocab, [(0, 60, 4), (16, 62, 4)]), vocab)
+    tgt = extract_bar_features(
+        _bar(vocab, [(0, 60, 8), (0, 64, 8), (16, 62, 8), (16, 65, 8)]), vocab
+    )
+    attrs = compute_relative_attributes(src, tgt)
+    # tgt has 2 notes/pos vs src 1 → polyphony 2.0
+    assert attrs["relative_polyphony"] == pytest.approx(2.0)
+    # same pos count → rhythm 1.0
+    assert attrs["relative_rhythmic_intensity"] == pytest.approx(1.0)
+    # tgt avg dur 8 vs src 4 → sustain 2.0
+    assert attrs["relative_note_sustain"] == pytest.approx(2.0)
+    # pos 0: tgt {60,64}, src has pc {0} → overlap 1/2; pos 16 same → 1/2
+    assert attrs["pitch_overlap_ratio"] == pytest.approx(0.5)
+
+
+def test_pitch_overlap_edge_cases(vocab):
+    empty = extract_bar_features(_bar(vocab, []), vocab)
+    src = extract_bar_features(_bar(vocab, [(0, 60, 4)]), vocab)
+    # No positions at all → 0.0
+    assert compute_relative_attributes(empty, empty)["pitch_overlap_ratio"] == 0.0
+    # src-only position → ratio contribution 0.
+    attrs = compute_relative_attributes(src, empty)
+    assert attrs["pitch_overlap_ratio"] == 0.0
+
+
+def test_bin_edges_and_digitize():
+    attrs = [{"relative_polyphony": float(x),
+              "relative_rhythmic_intensity": 1.0,
+              "relative_note_sustain": 1.0,
+              "pitch_overlap_ratio": 0.5} for x in np.linspace(0, 2, 100)]
+    edges = calculate_bin_edges(attrs)
+    mean, std = 1.0, np.std(np.linspace(0, 2, 100))
+    np.testing.assert_allclose(
+        edges["relative_polyphony"], [mean - 0.5 * std, mean + 0.5 * std], rtol=1e-6
+    )
+    # Constant attribute → epsilon edges.
+    assert len(edges["relative_rhythmic_intensity"]) == 2
+
+
+def _write_song(tmp_path, vocab, name, n_bars=6):
+    d = tmp_path / name
+    d.mkdir(parents=True)
+    src_ids, tgt_ids = [], []
+    for i in range(n_bars):
+        src_ids += _bar(vocab, [(0, 60 + i, 4), (16, 64, 2)])
+        tgt_ids += _bar(vocab, [(0, 60 + i, 8), (8, 67, 4), (16, 64, 2)])
+    np.save(d / f"{name}_src.npy", np.asarray(src_ids, np.int32))
+    np.save(d / f"{name}_tgt.npy", np.asarray(tgt_ids, np.int32))
+
+
+def test_dataset_end_to_end(tmp_path, vocab):
+    for i in range(3):
+        _write_song(tmp_path, vocab, f"{i:04d}")
+    ds = EtudeDataset(tmp_path, vocab, max_seq_len=256)
+    assert len(ds.songs) == 3
+    assert len(ds) > 0
+
+    item = ds[4]
+    n = len(item["input_ids"])
+    assert len(item["labels"]) == n
+    assert len(item["class_ids"]) == n
+    assert "polyphony_bin_ids" in item and "pitch_overlap_bin_ids" in item
+
+    # Labels: ignore everywhere except current-Y next-token targets.
+    labels = np.asarray(ds._full_sample(0, 4)["labels"])
+    valid = labels != LABEL_IGNORE_ID
+    assert valid.sum() > 0
+    sample = ds._full_sample(0, 4)
+    toks = np.asarray(sample["input_ids"])
+    # The supervised targets are the current Y bar shifted by one.
+    tgt_bar = ds.songs[0]["bars"][4]["tgt_bar_ids"]
+    y_len = len(tgt_bar)
+    np.testing.assert_array_equal(labels[-y_len:-1], tgt_bar[1:])
+    assert labels[-1] == LABEL_IGNORE_ID
+    np.testing.assert_array_equal(toks[-y_len:], tgt_bar)
+
+
+def test_dataset_batches_fixed_shape(tmp_path, vocab):
+    for i in range(2):
+        _write_song(tmp_path, vocab, f"{i:04d}")
+    ds = EtudeDataset(tmp_path, vocab, max_seq_len=128)
+    batches = list(ds.batches(batch_size=4, shuffle=True, seed=0, drop_last=False))
+    assert len(batches) >= 1
+    for batch in batches:
+        assert batch["input_ids"].shape == (4, 128)
+        assert batch["attention_mask"].shape == (4, 128)
+        assert set(batch.keys()) == {
+            "input_ids", "class_ids", "labels", "attention_mask",
+            "polyphony_bin_ids", "rhythm_intensity_bin_ids",
+            "sustain_bin_ids", "pitch_overlap_bin_ids",
+        }
+    # Padding rows/cols are masked.
+    b0 = batches[0]
+    assert np.all(b0["labels"][b0["attention_mask"] == 0] == LABEL_IGNORE_ID)
+
+
+def test_split_ids_closes_open_bar(vocab):
+    BOS, EOS = vocab.bar_bos_id, vocab.bar_eos_id
+    n = vocab.encode("Note_60")
+    bars = split_ids_into_bars([BOS, n, n, BOS, n, EOS], BOS, EOS)
+    assert len(bars) == 2
+    assert bars[0] == [BOS, n, n, EOS]

@@ -1,0 +1,138 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from etude_tpu.models.decoder import (
+    ATTRIBUTE_ORDER,
+    EtudeDecoderConfig,
+    init_params,
+)
+from etude_tpu.parallel.mesh import make_mesh, shard_batch
+from etude_tpu.parallel.train_step import (
+    init_train_state,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+    reshape_for_accum,
+)
+from etude_tpu.utils.training import load_checkpoint, save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def tiny_config():
+    return EtudeDecoderConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, attribute_emb_dim=8,
+    )
+
+
+def _batch(config, rng, B=8, T=16):
+    ids = rng.integers(4, config.vocab_size, (B, T)).astype(np.int32)
+    labels = np.roll(ids, -1, axis=1).astype(np.int32)
+    labels[:, -1] = -100
+    labels[:, : T // 2] = -100
+    batch = {
+        "input_ids": ids,
+        "class_ids": rng.integers(1, 3, (B, T)).astype(np.int32),
+        "labels": labels,
+        "attention_mask": np.ones((B, T), np.int32),
+    }
+    for name in ATTRIBUTE_ORDER:
+        batch[f"{name}_bin_ids"] = rng.integers(0, 3, (B, T)).astype(np.int32)
+    return batch
+
+
+def test_lr_schedule_shape():
+    sched = make_lr_schedule(2e-4, warmup_steps=10, total_steps=100)
+    assert float(sched(0)) == pytest.approx(0.0)
+    assert float(sched(10)) == pytest.approx(2e-4, rel=1e-3)
+    assert float(sched(99)) < 2e-5
+    # Monotonic decay after warmup.
+    assert float(sched(50)) < float(sched(20))
+
+
+def test_train_step_reduces_loss(tiny_config, rng):
+    """Overfit a fixed batch for a few steps: loss must drop."""
+    params = init_params(tiny_config, seed=0)
+    tx, _ = make_optimizer(learning_rate=3e-3, warmup_steps=2, total_steps=60)
+    state = init_train_state(params, tx)
+    step = make_train_step(tiny_config, tx, compute_dtype=jnp.float32)
+
+    batch = reshape_for_accum(_batch(tiny_config, rng), accum_steps=2)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.7
+    assert int(state.step) == 30
+    assert int(state.skipped) == 0
+
+
+def test_train_step_on_mesh(tiny_config, rng):
+    """Data-parallel step over the 8-device virtual CPU mesh."""
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(data_parallel=8)
+    params = init_params(tiny_config, seed=0)
+    tx, _ = make_optimizer(total_steps=10)
+    state = init_train_state(params, tx)
+    step = make_train_step(tiny_config, tx, mesh=mesh, compute_dtype=jnp.float32)
+
+    batch = reshape_for_accum(_batch(tiny_config, rng, B=32), accum_steps=2)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(metrics["grads_finite"]) == 1
+
+    # Sharded result must match the unsharded step numerically.
+    params2 = init_params(tiny_config, seed=0)
+    state2 = init_train_state(params2, tx)
+    step2 = make_train_step(tiny_config, tx, compute_dtype=jnp.float32)
+    state2, metrics2 = step2(state2, {k: jnp.asarray(v) for k, v in batch.items()})
+    assert float(metrics["loss"]) == pytest.approx(float(metrics2["loss"]), rel=1e-4)
+
+
+def test_nonfinite_grads_skip_update(tiny_config, rng):
+    params = init_params(tiny_config, seed=0)
+    tx, _ = make_optimizer(total_steps=10)
+    state = init_train_state(params, tx)
+    step = make_train_step(tiny_config, tx, compute_dtype=jnp.float32)
+
+    batch = _batch(tiny_config, rng)
+    # Poison the attribute-projection bias (used at every position) so the
+    # forward produces NaN gradients.
+    bad_params = dict(state.params)
+    bad_params["attr_proj"] = {
+        "w": state.params["attr_proj"]["w"],
+        "b": state.params["attr_proj"]["b"].at[0].set(jnp.nan),
+    }
+    state = state._replace(params=bad_params)
+    before = np.asarray(state.params["lm_head"])
+    batch = reshape_for_accum(batch, 2)
+    state, metrics = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+    assert int(metrics["grads_finite"]) == 0
+    assert int(state.skipped) == 1
+    np.testing.assert_array_equal(np.asarray(state.params["lm_head"]), before)
+
+
+def test_checkpoint_roundtrip(tiny_config, tmp_path):
+    params = init_params(tiny_config, seed=0)
+    tx, _ = make_optimizer(total_steps=10)
+    state = init_train_state(params, tx)
+    save_checkpoint(tmp_path, state, epoch=3, global_step=42,
+                    model_config=tiny_config, is_save_epoch=True)
+    assert (tmp_path / "latest").exists()
+    assert (tmp_path / "epoch_0003").exists()
+    assert (tmp_path / "etude_decoder_config.json").exists()
+
+    fresh = init_train_state(init_params(tiny_config, seed=99), tx)
+    restored, meta = load_checkpoint(tmp_path, fresh)
+    assert meta["epoch"] == 3 and meta["global_step"] == 42
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["word_emb"]), np.asarray(params["word_emb"])
+    )
+
+    cfg = EtudeDecoderConfig.from_json_file(tmp_path / "etude_decoder_config.json")
+    assert cfg == tiny_config
