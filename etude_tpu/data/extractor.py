@@ -1,0 +1,199 @@
+"""Stage-1 Extract: audio → note events via the hFT transcription model.
+
+Pipeline parity with the reference extractor (etude/data/extractor.py):
+log-mel frontend → margin-padded fixed-length segments → model heads →
+peak-picked notes → JSON/MIDI, with the same thresholds and min-duration
+filter (etude/config/schema.py ExtractorInferConfig).
+
+TPU-first: the mel frontend is one on-device program (ops/mel.py); ALL
+segments of a song run as batched forwards of a single jit-compiled model
+call (the reference loops batch-1 segments serially, etude/data/extractor.py:227);
+velocity argmax happens on device so only [T, 88] maps come back to host.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from pathlib import Path
+from typing import Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.schema import ExtractorConfig
+from ..models.amt import AMTConfig, forward, init_params
+from ..ops.mel import log_mel_spectrogram
+from ..ops.peakpick import activations_to_notes
+from ..utils.audio import decode_audio
+from ..utils.logger import logger
+from ..utils.midi import write_midi
+
+
+def amt_config_from(config: ExtractorConfig, n_frame: Optional[int] = None) -> AMTConfig:
+    return AMTConfig(
+        n_margin=config.input.margin_b,
+        n_frame=n_frame or config.input.num_frame,
+        n_bin=config.feature.n_bins,
+        cnn_channel=config.model.cnn_channel,
+        cnn_kernel=config.model.cnn_kernel,
+        hid_dim=config.model.transformer_hid_dim,
+        encoder_n_layer=config.model.encoder_n_layer,
+        encoder_n_head=config.model.encoder_n_head,
+        decoder_n_layer=config.model.decoder_n_layer,
+        decoder_n_head=config.model.decoder_n_head,
+        pf_dim=config.model.transformer_pf_dim,
+        n_note=config.midi.num_note,
+        n_velocity=config.midi.num_velocity,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _transcribe_batch(params, config: AMTConfig, spec: jnp.ndarray):
+    """[B, n_bin, margin+T+margin] → activation maps + on-device velocity
+    argmax for both head branches."""
+    out = forward(params, config, spec)
+    return {
+        "onset_freq": out["onset_freq"], "offset_freq": out["offset_freq"],
+        "mpe_freq": out["mpe_freq"],
+        "velocity_freq": jnp.argmax(out["velocity_freq"], axis=-1).astype(jnp.int32),
+        "onset_time": out["onset_time"], "offset_time": out["offset_time"],
+        "mpe_time": out["mpe_time"],
+        "velocity_time": jnp.argmax(out["velocity_time"], axis=-1).astype(jnp.int32),
+    }
+
+
+class AMTAPC_Extractor:
+    """Audio → notes transcription pipeline."""
+
+    def __init__(
+        self,
+        config: ExtractorConfig,
+        model_path: Optional[Union[str, Path]] = None,
+        params=None,
+        segment_batch: Optional[int] = None,
+    ):
+        self.config = config
+        self.amt_config = amt_config_from(config)
+        self.segment_batch = segment_batch or config.infer.segment_batch
+
+        if params is not None:
+            self.params = params
+        elif model_path is not None and Path(model_path).exists():
+            from ..utils.training import load_params_only
+
+            abstract = init_params(self.amt_config, seed=0)
+            self.params = load_params_only(model_path, abstract)
+            logger.debug(f"extractor weights loaded from {model_path}")
+        else:
+            if model_path is not None:
+                logger.warn(
+                    f"extractor checkpoint {model_path} not found; "
+                    "using random initialization"
+                )
+            self.params = init_params(self.amt_config, seed=0)
+
+    # ---- steps ---------------------------------------------------------
+    def _wav2feature(self, audio_path: Union[str, Path]) -> np.ndarray:
+        fc = self.config.feature
+        wave, _ = decode_audio(audio_path, target_sr=fc.sr, mono=True)
+        logmel = log_mel_spectrogram(
+            jnp.asarray(wave, jnp.float32),
+            sr=fc.sr, n_fft=fc.fft_bins, hop=fc.hop_sample,
+            win_length=fc.window_length, n_mels=fc.mel_bins,
+            log_offset=fc.log_offset,
+        )
+        return np.asarray(logmel)  # [n_frames, n_mels]
+
+    def _segment(self, feature: np.ndarray) -> Tuple[np.ndarray, int]:
+        """[T, n_bin] → ([n_segments, n_bin, margin+num_frame+margin], T)."""
+        ic = self.config.input
+        n_frame, n_bin = self.amt_config.n_frame, self.amt_config.n_bin
+        T = feature.shape[0]
+        n_seg = max(int(np.ceil(T / n_frame)), 1)
+        padded_T = n_seg * n_frame
+        full = np.full(
+            (ic.margin_b + padded_T + ic.margin_f, n_bin),
+            ic.min_value, dtype=np.float32,
+        )
+        full[ic.margin_b:ic.margin_b + T] = feature
+        segs = np.stack([
+            full[i * n_frame: i * n_frame + ic.margin_b + n_frame + ic.margin_f].T
+            for i in range(n_seg)
+        ])
+        return segs, T
+
+    def _transcript(self, feature: np.ndarray) -> Dict[str, np.ndarray]:
+        """Run every segment through the model (batched) and stitch maps."""
+        segs, T = self._segment(feature)
+        n_seg = segs.shape[0]
+        B = self.segment_batch
+        # Pad the segment count to a multiple of the batch (static shapes).
+        n_pad = (-n_seg) % B
+        if n_pad:
+            pad = np.full((n_pad, *segs.shape[1:]),
+                          self.config.input.min_value, np.float32)
+            segs = np.concatenate([segs, pad], axis=0)
+
+        chunks = []
+        for i in range(0, segs.shape[0], B):
+            out = _transcribe_batch(
+                self.params, self.amt_config, jnp.asarray(segs[i:i + B])
+            )
+            chunks.append(jax.tree.map(np.asarray, out))
+
+        maps = {
+            k: np.concatenate([c[k] for c in chunks], axis=0)
+            for k in chunks[0]
+        }
+        # [n_seg(+pad), n_frame, 88] → [T, 88]
+        n_frame = self.amt_config.n_frame
+        return {
+            k: v.reshape(-1, *v.shape[2:])[:T] for k, v in maps.items()
+        }
+
+    def _mpe2note(self, maps: Dict[str, np.ndarray], branch: str = "time"):
+        ic = self.config.infer
+        hop_sec = self.config.feature.hop_sample / self.config.feature.sr
+        return activations_to_notes(
+            maps[f"onset_{branch}"], maps[f"offset_{branch}"],
+            maps[f"mpe_{branch}"], maps[f"velocity_{branch}"],
+            hop_sec=hop_sec,
+            note_min=self.config.midi.note_min,
+            thred_onset=ic.onset_threshold,
+            thred_offset=ic.offset_threshold,
+            thred_mpe=ic.frame_threshold,
+        )
+
+    # ---- public API ----------------------------------------------------
+    def extract(
+        self,
+        audio_path: Union[str, Path],
+        output_json_path: Union[str, Path],
+        output_midi_path: Optional[Union[str, Path]] = None,
+    ):
+        """Transcribe audio; write note JSON (and optional MIDI)."""
+        feature = self._wav2feature(audio_path)
+        maps = self._transcript(feature)
+        # Inference uses the refined time-branch (B) heads, like the
+        # reference (etude/data/extractor.py:161).
+        notes = self._mpe2note(maps, branch="time")
+
+        min_dur = self.config.infer.min_duration
+        filtered = [
+            {k: n[k] for k in ("onset", "offset", "pitch", "velocity")}
+            for n in notes if n["offset"] - n["onset"] >= min_dur
+        ]
+        output_json_path = Path(output_json_path)
+        output_json_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(output_json_path, "w", encoding="utf-8") as f:
+            json.dump(filtered, f, ensure_ascii=False, indent=2)
+        logger.debug(f"extracted {len(filtered)} notes → {output_json_path}")
+
+        if output_midi_path:
+            write_midi(
+                [n for n in notes if n["offset"] - n["onset"] >= min_dur],
+                output_midi_path,
+            )
+        return filtered

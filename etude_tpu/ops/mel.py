@@ -1,0 +1,118 @@
+"""Log-mel spectrogram frontend as a jit-compiled XLA graph.
+
+Replaces the reference's torchaudio MelSpectrogram call (reference:
+etude/data/extractor.py:186-197 — n_fft 2048, hop 256, 256 mels, HTK mel
+scale with slaney filter normalization, centered reflect padding, power
+spectrum, log(x + 1e-8)). The whole frontend — framing, windowed rFFT, mel
+projection (one MXU matmul), log — runs on device in a single program; the
+waveform is the only host→HBM transfer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hz_to_mel_htk(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+
+def mel_to_hz_htk(m):
+    return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+
+def mel_filterbank(
+    sr: int,
+    n_fft: int,
+    n_mels: int,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    norm: str = "slaney",
+) -> np.ndarray:
+    """Triangular mel filterbank [n_fft//2 + 1, n_mels] (HTK mel points,
+    optional slaney area normalization) — torchaudio-compatible."""
+    fmax = fmax if fmax is not None else sr / 2.0
+    n_freqs = n_fft // 2 + 1
+    freqs = np.linspace(0.0, sr / 2.0, n_freqs)
+
+    mel_pts = np.linspace(hz_to_mel_htk(fmin), hz_to_mel_htk(fmax), n_mels + 2)
+    f_pts = mel_to_hz_htk(mel_pts)
+
+    slopes = f_pts[None, :] - freqs[:, None]  # [n_freqs, n_mels + 2]
+    denom_down = f_pts[1:-1] - f_pts[:-2]
+    denom_up = f_pts[2:] - f_pts[1:-1]
+    down = -slopes[:, :-2] / np.maximum(denom_down, 1e-10)
+    up = slopes[:, 2:] / np.maximum(denom_up, 1e-10)
+    fb = np.maximum(0.0, np.minimum(down, up))
+
+    if norm == "slaney":
+        enorm = 2.0 / (f_pts[2:] - f_pts[:-2])
+        fb *= enorm[None, :]
+    return fb.astype(np.float32)
+
+
+def _hann_window(win_length: int) -> np.ndarray:
+    # Periodic Hann (torch.hann_window default).
+    n = np.arange(win_length)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))).astype(np.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "n_fft", "hop", "win_length", "n_mels", "fmin",
+                     "fmax", "log_offset", "center"),
+)
+def log_mel_spectrogram(
+    wave: jnp.ndarray,
+    *,
+    sr: int = 16000,
+    n_fft: int = 2048,
+    hop: int = 256,
+    win_length: int = 2048,
+    n_mels: int = 256,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    log_offset: float = 1e-8,
+    center: bool = True,
+) -> jnp.ndarray:
+    """waveform [T] → log-mel [n_frames, n_mels] on device."""
+    if center:
+        pad = n_fft // 2
+        wave = jnp.pad(wave, pad, mode="reflect")
+
+    n_frames = 1 + (wave.shape[0] - n_fft) // hop
+    # Frame via gather: [n_frames, n_fft].
+    idx = jnp.arange(n_fft)[None, :] + hop * jnp.arange(n_frames)[:, None]
+    frames = wave[idx]
+
+    window = jnp.asarray(_hann_window(win_length))
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    frames = frames * window[None, :]
+
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    power = jnp.abs(spec) ** 2  # [n_frames, n_fft//2+1]
+
+    fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+    mel = power @ fb  # MXU matmul
+    return jnp.log(mel + log_offset)
+
+
+def wav_to_logmel(wave: np.ndarray, feature_cfg) -> np.ndarray:
+    """Convenience wrapper using an ExtractorFeatureConfig."""
+    out = log_mel_spectrogram(
+        jnp.asarray(wave, jnp.float32),
+        sr=feature_cfg.sr,
+        n_fft=feature_cfg.fft_bins,
+        hop=feature_cfg.hop_sample,
+        win_length=feature_cfg.window_length,
+        n_mels=feature_cfg.mel_bins,
+        log_offset=feature_cfg.log_offset,
+    )
+    return np.asarray(out)

@@ -1,0 +1,128 @@
+"""Host-side audio I/O and DSP utilities.
+
+The environment has no librosa/torchaudio/ffmpeg; the framework owns WAV
+loading, resampling and loudness analysis. Semantics match the reference's
+use of librosa (etude/utils/preprocess.py:116-152 volume contour; librosa
+defaults: float32 waveform in [-1, 1], mono mixdown, centered RMS frames).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import shutil
+from pathlib import Path
+from typing import Optional, Tuple, Union
+
+import numpy as np
+from scipy.io import wavfile
+from scipy.signal import resample_poly
+
+from .logger import logger
+
+
+def load_wav(
+    path: Union[str, Path],
+    target_sr: Optional[int] = None,
+    mono: bool = True,
+) -> Tuple[np.ndarray, int]:
+    """Load a WAV file → (float32 waveform in [-1, 1], sample_rate).
+
+    Integer PCM is scaled by its dtype range; optional mono mixdown and
+    polyphase resampling to target_sr.
+    """
+    path = Path(path)
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        wave = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        wave = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        wave = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        wave = data.astype(np.float32)
+
+    if mono and wave.ndim > 1:
+        wave = wave.mean(axis=1)
+
+    if target_sr is not None and target_sr != sr:
+        wave = resample_audio(wave, sr, target_sr)
+        sr = target_sr
+    return wave, sr
+
+
+def resample_audio(wave: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampling (host-side; the mel frontend consumes the result)."""
+    if orig_sr == target_sr:
+        return wave
+    g = np.gcd(int(orig_sr), int(target_sr))
+    return resample_poly(wave, target_sr // g, orig_sr // g).astype(np.float32)
+
+
+def save_wav(path: Union[str, Path], wave: np.ndarray, sr: int) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    clipped = np.clip(wave, -1.0, 1.0)
+    wavfile.write(path, sr, (clipped * 32767.0).astype(np.int16))
+
+
+def decode_audio(
+    path: Union[str, Path], target_sr: Optional[int] = None, mono: bool = True
+) -> Tuple[np.ndarray, int]:
+    """Decode any audio container to a waveform.
+
+    WAV is read natively; other formats go through ffmpeg when present
+    (gated: a clear error otherwise, since this image ships no codecs).
+    """
+    path = Path(path)
+    if path.suffix.lower() == ".wav":
+        return load_wav(path, target_sr=target_sr, mono=mono)
+    ffmpeg = shutil.which("ffmpeg")
+    if not ffmpeg:
+        raise RuntimeError(
+            f"cannot decode {path.suffix} audio: ffmpeg not available; "
+            "provide WAV input"
+        )
+    sr = target_sr or 44100
+    cmd = [
+        ffmpeg, "-v", "error", "-i", str(path),
+        "-f", "f32le", "-acodec", "pcm_f32le",
+        "-ac", "1" if mono else "2", "-ar", str(sr), "-",
+    ]
+    raw = subprocess.run(cmd, capture_output=True, check=True).stdout
+    wave = np.frombuffer(raw, dtype=np.float32)
+    if not mono:
+        wave = wave.reshape(-1, 2)
+    return wave, sr
+
+
+def analyze_volume(
+    audio_path: Union[str, Path],
+    sr: int = 22050,
+    resolution: int = 20,
+) -> np.ndarray:
+    """Normalized [0, 1] RMS loudness contour at `resolution` Hz.
+
+    Frame length is 2 hops with centered (zero-padded) frames, matching the
+    reference's librosa RMS call.
+    """
+    wave, _ = decode_audio(audio_path, target_sr=sr, mono=True)
+    hop = sr // resolution
+    frame = hop * 2
+    padded = np.pad(wave, frame // 2)
+    n_frames = 1 + (len(padded) - frame) // hop if len(padded) >= frame else 0
+    if n_frames <= 0:
+        return np.zeros(0, np.float32)
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    rms = np.sqrt(np.mean(padded[idx] ** 2, axis=1))
+    lo, hi = rms.min(), rms.max()
+    if hi > lo:
+        return ((rms - lo) / (hi - lo)).astype(np.float32)
+    return np.zeros_like(rms, dtype=np.float32)
+
+
+def save_volume_map(volume_map: np.ndarray, output_path: Union[str, Path]) -> None:
+    output_path = Path(output_path)
+    output_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(output_path, "w", encoding="utf-8") as f:
+        json.dump(np.asarray(volume_map, dtype=float).tolist(), f)
