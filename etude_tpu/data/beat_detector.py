@@ -1,0 +1,124 @@
+"""Stage-2 part 2: beat/downbeat detection.
+
+Orchestration parity with the reference BeatDetector
+(etude/data/beat_detector.py): one Beat-Transformer forward over the
+separated-stem features, sigmoid beat/downbeat activations, then DBN
+decoding (beat tracker on the beat activation; downbeat tracker on
+[max(beat − downbeat, 0), downbeat]) and JSON output {beat_pred,
+downbeat_pred}. The DBN is the framework's own implementation (ops/dbn.py) —
+no native madmom dependency.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.schema import BeatDetectorConfig
+from ..models.beat_transformer import (
+    BeatTransformerConfig,
+    forward,
+    init_params,
+)
+from ..ops.dbn import DBNBeatTracker, DBNDownBeatTracker
+from ..utils.logger import logger
+
+
+def beat_model_config_from(config: BeatDetectorConfig) -> BeatTransformerConfig:
+    m = config.model
+    return BeatTransformerConfig(
+        attn_len=m.attn_len, instr=m.instr, ntoken=m.ntoken, dmodel=m.dmodel,
+        nhead=m.nhead, d_hid=m.d_hid, nlayers=m.nlayers,
+    )
+
+
+class BeatDetector:
+    """Separated-stem features → beat/downbeat timestamps."""
+
+    def __init__(
+        self,
+        config: BeatDetectorConfig,
+        model_path: Optional[Union[str, Path]] = None,
+        params=None,
+    ):
+        self.config = config
+        self.model_config = beat_model_config_from(config)
+
+        if params is not None:
+            self.params = params
+        elif model_path is not None and Path(model_path).exists():
+            from ..utils.training import load_params_only
+
+            abstract = init_params(self.model_config, seed=0)
+            self.params = load_params_only(model_path, abstract)
+            logger.debug(f"beat model weights loaded from {model_path}")
+        else:
+            if model_path is not None:
+                logger.warn(
+                    f"beat model checkpoint {model_path} not found; "
+                    "using random initialization"
+                )
+            self.params = init_params(self.model_config, seed=0)
+
+        fps = 44100 / config.fps_divisor
+        self.beat_tracker = DBNBeatTracker(
+            min_bpm=config.min_bpm, max_bpm=config.max_bpm, fps=fps,
+            threshold=config.threshold,
+        )
+        self.downbeat_tracker = DBNDownBeatTracker(
+            beats_per_bar=tuple(config.beats_per_bar),
+            min_bpm=config.min_bpm, max_bpm=config.max_bpm, fps=fps,
+            threshold=config.threshold,
+        )
+
+    def activations(self, features: np.ndarray) -> np.ndarray:
+        """[instr, T, mel] features → sigmoid activations [T, 2]."""
+        logits, _ = forward(
+            self.params, self.model_config, jnp.asarray(features)[None]
+        )
+        return np.asarray(jax.nn.sigmoid(logits[0]))
+
+    def detect(
+        self,
+        features_or_path: Union[np.ndarray, str, Path],
+        output_json_path: Optional[Union[str, Path]] = None,
+        cleanup_input: bool = True,
+    ) -> Dict:
+        """Features (array or .npy path) → {beat_pred, downbeat_pred}."""
+        input_file = None
+        if isinstance(features_or_path, (str, Path)):
+            input_file = Path(features_or_path)
+            features = np.load(input_file)
+        else:
+            features = features_or_path
+
+        act = self.activations(features.astype(np.float32))
+        beat_act, down_act = act[:, 0], act[:, 1]
+
+        beats = self.beat_tracker(beat_act)
+        combined = np.stack(
+            [np.maximum(beat_act - down_act, 0.0), down_act], axis=-1
+        )
+        downbeat_events = self.downbeat_tracker(combined)
+        downbeats = (
+            downbeat_events[downbeat_events[:, 1] == 1][:, 0]
+            if downbeat_events.size else np.empty(0)
+        )
+
+        results = {
+            "beat_pred": np.asarray(beats, float).tolist(),
+            "downbeat_pred": np.asarray(downbeats, float).tolist(),
+        }
+        if output_json_path is not None:
+            output_json_path = Path(output_json_path)
+            output_json_path.parent.mkdir(parents=True, exist_ok=True)
+            with open(output_json_path, "w", encoding="utf-8") as f:
+                json.dump(results, f, indent=4)
+        if cleanup_input and input_file is not None and input_file.exists():
+            input_file.unlink()
+        return results

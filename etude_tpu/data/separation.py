@@ -1,0 +1,121 @@
+"""Stage-2 part 1: in-process source separation → beat-tracking features.
+
+Replaces the reference's subprocess contract (infer.py:113-141 launching
+scripts/run_separation.py in a separate env, handing back sep.npy) with one
+on-device XLA program: STFT (n_fft 4096, hop 1024 @ 44.1 kHz) → U-Net ratio
+masks → per-stem masked power → 128-bin slaney-mel (30–11000 Hz), then a
+host-side power→dB conversion (ref = per-stem max, top_db 80). Output
+features keep the reference's (5, time, 128) .npy contract so downstream
+beat detection is unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.separator import SeparatorConfig, forward, init_params
+from ..ops.mel import mel_filterbank
+from ..utils.audio import decode_audio
+from ..utils.logger import logger
+
+SEP_SR = 44100
+SEP_N_FFT = 4096
+SEP_HOP = 1024
+SEP_MELS = 128
+SEP_FMIN = 30.0
+SEP_FMAX = 11000.0
+FRAME_BUCKET = 512
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _separate_mel(params, config: SeparatorConfig, wave: jnp.ndarray):
+    """wave [N] (padded) → per-stem mel power [num_stems, T, 128]."""
+    pad = SEP_N_FFT // 2
+    w = jnp.pad(wave, pad, mode="reflect")
+    n_frames = 1 + (w.shape[0] - SEP_N_FFT) // SEP_HOP
+    idx = jnp.arange(SEP_N_FFT)[None, :] + SEP_HOP * jnp.arange(n_frames)[:, None]
+    frames = w[idx]
+    n = np.arange(SEP_N_FFT)
+    window = jnp.asarray(
+        (0.5 * (1.0 - np.cos(2 * np.pi * n / SEP_N_FFT))).astype(np.float32)
+    )
+    spec = jnp.fft.rfft(frames * window[None, :], axis=-1)
+    mag = jnp.abs(spec)  # [T, F]
+
+    masks = forward(params, config, jnp.log1p(mag)[None])[0]  # [S, T, F]
+    stem_power = (masks * mag[None]) ** 2
+
+    fb = jnp.asarray(mel_filterbank(
+        SEP_SR, SEP_N_FFT, SEP_MELS, fmin=SEP_FMIN, fmax=SEP_FMAX,
+        norm="slaney", mel_scale="slaney",
+    ))
+    return jnp.einsum("stf,fm->stm", stem_power, fb)
+
+
+def power_to_db(S: np.ndarray, top_db: float = 80.0, amin: float = 1e-10) -> np.ndarray:
+    """librosa.power_to_db(ref=np.max) semantics per input array."""
+    ref = max(float(S.max()), amin)
+    log_spec = 10.0 * np.log10(np.maximum(amin, S))
+    log_spec -= 10.0 * np.log10(ref)
+    return np.maximum(log_spec, log_spec.max() - top_db)
+
+
+class SourceSeparator:
+    """Audio → (num_stems, time, 128) dB-mel features for beat tracking."""
+
+    def __init__(
+        self,
+        model_path: Optional[Union[str, Path]] = None,
+        params=None,
+        config: Optional[SeparatorConfig] = None,
+    ):
+        self.config = config or SeparatorConfig()
+        if params is not None:
+            self.params = params
+        elif model_path is not None and Path(model_path).exists():
+            from ..utils.training import load_params_only
+
+            abstract = init_params(self.config, seed=0)
+            self.params = load_params_only(model_path, abstract)
+            logger.debug(f"separator weights loaded from {model_path}")
+        else:
+            if model_path is not None:
+                logger.warn(
+                    f"separator checkpoint {model_path} not found; "
+                    "using random initialization"
+                )
+            self.params = init_params(self.config, seed=0)
+
+    def separate_features(
+        self,
+        audio_path: Union[str, Path],
+        output_npy_path: Optional[Union[str, Path]] = None,
+    ) -> np.ndarray:
+        wave, _ = decode_audio(audio_path, target_sr=SEP_SR, mono=True)
+        true_frames = 1 + len(wave) // SEP_HOP
+        # Bucket the frame count to bound recompiles across song lengths.
+        bucket_frames = int(np.ceil(true_frames / FRAME_BUCKET) * FRAME_BUCKET)
+        target_len = (bucket_frames - 1) * SEP_HOP
+        if len(wave) < target_len:
+            wave = np.pad(wave, (0, target_len - len(wave)))
+        else:
+            wave = wave[:target_len]
+
+        mel_power = np.asarray(
+            _separate_mel(self.params, self.config, jnp.asarray(wave, jnp.float32))
+        )[:, :true_frames]
+
+        features = np.stack([power_to_db(s) for s in mel_power])
+
+        if output_npy_path is not None:
+            output_npy_path = Path(output_npy_path)
+            output_npy_path.parent.mkdir(parents=True, exist_ok=True)
+            np.save(output_npy_path, features.astype(np.float32))
+            logger.debug(f"separation features saved → {output_npy_path}")
+        return features.astype(np.float32)

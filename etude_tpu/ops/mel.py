@@ -26,6 +26,23 @@ def mel_to_hz_htk(m):
     return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
 
 
+def hz_to_mel_slaney(f):
+    """Slaney mel scale (librosa default): linear below 1 kHz, log above."""
+    f = np.asarray(f, dtype=np.float64)
+    mel = f / (200.0 / 3.0)
+    log_region = f >= 1000.0
+    logstep = np.log(6.4) / 27.0
+    mel = np.where(log_region, 15.0 + np.log(np.maximum(f, 1e-10) / 1000.0) / logstep, mel)
+    return mel
+
+
+def mel_to_hz_slaney(m):
+    m = np.asarray(m, dtype=np.float64)
+    f = m * (200.0 / 3.0)
+    logstep = np.log(6.4) / 27.0
+    return np.where(m >= 15.0, 1000.0 * np.exp(logstep * (m - 15.0)), f)
+
+
 def mel_filterbank(
     sr: int,
     n_fft: int,
@@ -33,15 +50,26 @@ def mel_filterbank(
     fmin: float = 0.0,
     fmax: Optional[float] = None,
     norm: str = "slaney",
+    mel_scale: str = "htk",
 ) -> np.ndarray:
-    """Triangular mel filterbank [n_fft//2 + 1, n_mels] (HTK mel points,
-    optional slaney area normalization) — torchaudio-compatible."""
+    """Triangular mel filterbank [n_fft//2 + 1, n_mels].
+
+    mel_scale="htk" + norm="slaney" matches torchaudio's MelSpectrogram
+    (extractor frontend); mel_scale="slaney" matches librosa.filters.mel
+    defaults (separation features, reference scripts/run_separation.py:166).
+    """
     fmax = fmax if fmax is not None else sr / 2.0
     n_freqs = n_fft // 2 + 1
     freqs = np.linspace(0.0, sr / 2.0, n_freqs)
 
-    mel_pts = np.linspace(hz_to_mel_htk(fmin), hz_to_mel_htk(fmax), n_mels + 2)
-    f_pts = mel_to_hz_htk(mel_pts)
+    if mel_scale == "htk":
+        mel_pts = np.linspace(hz_to_mel_htk(fmin), hz_to_mel_htk(fmax), n_mels + 2)
+        f_pts = mel_to_hz_htk(mel_pts)
+    else:
+        mel_pts = np.linspace(
+            hz_to_mel_slaney(fmin), hz_to_mel_slaney(fmax), n_mels + 2
+        )
+        f_pts = mel_to_hz_slaney(mel_pts)
 
     slopes = f_pts[None, :] - freqs[:, None]  # [n_freqs, n_mels + 2]
     denom_down = f_pts[1:-1] - f_pts[:-2]
