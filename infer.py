@@ -1,0 +1,255 @@
+#!/usr/bin/env python
+"""End-to-end piano cover generation (CLI surface mirrors the reference
+infer.py: --input | --decode-only, attribute bins, generation overrides,
+work-dir intermediate contract enabling decode-only reruns).
+
+All three neural stages run in-process as jit-compiled XLA programs — the
+reference's separation subprocess and per-token host sampling loop are gone.
+An added --sweep mode decodes all 27 polyphony/rhythm/sustain combinations as
+one batched on-device generation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+from pathlib import Path
+from urllib.parse import urlparse
+
+from etude_tpu.config import EtudeConfig, load_config
+from etude_tpu.data.beat_analyzer import BeatAnalyzer
+from etude_tpu.data.beat_detector import BeatDetector
+from etude_tpu.data.extractor import AMTAPC_Extractor
+from etude_tpu.data.separation import SourceSeparator
+from etude_tpu.data.tokenizer import TinyREMITokenizer, split_sequence_into_bars
+from etude_tpu.data.vocab import Vocab
+from etude_tpu.models.generate import GenerationEngine
+from etude_tpu.utils.audio import analyze_volume, save_volume_map
+from etude_tpu.utils.download import download_audio_from_url
+from etude_tpu.utils.logger import logger
+from etude_tpu.utils.model_loader import load_etude_decoder
+
+
+class InferencePipeline:
+    """Audio (file or URL) → piano-cover MIDI."""
+
+    def __init__(self, config: EtudeConfig):
+        self.config = config
+        self.output_dir = Path(config.paths.infer_output_dir)
+        self.work_dir = self.output_dir / "temp"
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.work_dir.mkdir(parents=True, exist_ok=True)
+        logger.info(f"Output directory: {self.output_dir.resolve()}")
+        logger.info(f"Working directory: {self.work_dir.resolve()}")
+
+    # ---- stages --------------------------------------------------------
+    def _prepare_audio(self, source: str) -> Path:
+        logger.step("Preparing source audio")
+        local = self.work_dir / "origin.wav"
+        if urlparse(source).scheme in ("http", "https"):
+            if not download_audio_from_url(source, local):
+                logger.error("audio download failed")
+                sys.exit(1)
+        elif Path(source).is_file():
+            shutil.copy(source, local)
+        else:
+            logger.error(f"input '{source}' is neither a URL nor a local file")
+            sys.exit(1)
+        return local
+
+    def _run_stage1_extract(self, audio_path: Path) -> None:
+        logger.stage("Extract: audio → feature notes")
+        extractor = AMTAPC_Extractor(
+            self.config.extractor,
+            model_path=self.config.paths.extractor_model,
+        )
+        extractor.extract(audio_path, self.work_dir / "extract.json")
+        volume = analyze_volume(audio_path)
+        save_volume_map(volume, self.work_dir / "volume.json")
+
+    def _run_stage2_structuralize(self, audio_path: Path) -> None:
+        logger.stage("Structuralize: separation + beat grid")
+        logger.step("Source separation (in-process)")
+        separator = SourceSeparator(model_path=self.config.paths.separator_model)
+        features = separator.separate_features(audio_path)
+
+        logger.step("Beat/downbeat detection")
+        detector = BeatDetector(
+            self.config.beat_detector,
+            model_path=self.config.paths.beat_detector_model,
+        )
+        detector.detect(features, self.work_dir / "beat_pred.json")
+
+        logger.step("Tempo analysis")
+        analyzer = BeatAnalyzer()
+        tempo = analyzer.analyze(self.work_dir / "beat_pred.json")
+        analyzer.save_tempo_data(tempo, self.work_dir / "tempo.json")
+
+    def _run_stage3_decode(
+        self,
+        target_attributes: dict,
+        final_filename: str,
+        sweep: bool = False,
+        seed: int = 0,
+    ) -> None:
+        logger.stage("Decode: conditional generation")
+        vocab = Vocab.load(self.config.paths.decoder_vocab)
+        params, model_config = load_etude_decoder(
+            self.config.paths.decoder_config, self.config.paths.decoder_model
+        )
+
+        tokenizer = TinyREMITokenizer(tempo_path=self.work_dir / "tempo.json")
+        condition_events = tokenizer.encode(self.work_dir / "extract.json")
+        condition_ids = vocab.encode_sequence(condition_events)
+        all_x_bars = split_sequence_into_bars(
+            condition_ids, vocab.bar_bos_id, vocab.bar_eos_id
+        )
+        logger.info(f"prepared {len(all_x_bars)} condition bars")
+        if not all_x_bars:
+            logger.warn("no condition bars; nothing to decode")
+            return
+
+        d = self.config.decoder
+        engine = GenerationEngine(
+            model_config,
+            bar_bos_id=vocab.bar_bos_id,
+            bar_eos_id=vocab.bar_eos_id,
+            pad_id=vocab.pad_id,
+            prompt_buckets=tuple(d.prompt_buckets),
+            max_bar_token_limit=d.max_bar_token_limit,
+        )
+
+        if sweep:
+            combos = [
+                {"polyphony_bin": p, "rhythm_intensity_bin": r,
+                 "sustain_bin": s,
+                 "pitch_overlap_bin": target_attributes["pitch_overlap_bin"]}
+                for p in range(3) for r in range(3) for s in range(3)
+            ]
+            logger.step(f"Batched sweep over {len(combos)} attribute combos")
+            streams = engine.generate_batch(
+                params,
+                [all_x_bars] * len(combos),
+                [[c] * len(all_x_bars) for c in combos],
+                temperature=d.temperature,
+                top_p=d.top_p,
+                max_output_tokens=d.max_output_tokens,
+                seed=seed,
+                progress=True,
+            )
+            for combo, bars in zip(combos, streams):
+                events = [
+                    e for bar in bars for e in vocab.decode_sequence_to_events(bar)
+                ]
+                notes = TinyREMITokenizer(
+                    tempo_path=self.work_dir / "tempo.json"
+                ).decode_to_notes(events, self.work_dir / "volume.json")
+                name = (
+                    f"{final_filename}_p{combo['polyphony_bin']}"
+                    f"r{combo['rhythm_intensity_bin']}s{combo['sustain_bin']}"
+                )
+                TinyREMITokenizer.note_to_midi(notes, self.output_dir / f"{name}.mid")
+            logger.success(f"sweep MIDI files saved to {self.output_dir}")
+            return
+
+        bars = engine.generate(
+            params, all_x_bars, [target_attributes] * len(all_x_bars),
+            temperature=d.temperature,
+            top_p=d.top_p,
+            max_output_tokens=d.max_output_tokens,
+            seed=seed,
+            progress=True,
+        )
+        generated_events = [
+            e for bar in bars for e in vocab.decode_sequence_to_events(bar)
+        ]
+        if not generated_events:
+            logger.warn("model generated an empty sequence")
+            return
+        final_notes = tokenizer.decode_to_notes(
+            generated_events, volume_map_path=self.work_dir / "volume.json"
+        )
+        final_midi = self.output_dir / f"{final_filename}.mid"
+        TinyREMITokenizer.note_to_midi(final_notes, final_midi)
+        logger.success(f"final MIDI saved to {final_midi.resolve()}")
+
+    # ---- driver --------------------------------------------------------
+    def run(
+        self,
+        audio_source: str,
+        target_attributes: dict,
+        final_filename: str = "output",
+        decode_only: bool = False,
+        sweep: bool = False,
+        seed: int = 0,
+    ) -> None:
+        if not decode_only:
+            audio_path = self._prepare_audio(audio_source)
+            self._run_stage1_extract(audio_path)
+            self._run_stage2_structuralize(audio_path)
+        else:
+            logger.skip("stages 1 & 2 (decode-only mode)")
+            for name in ("extract.json", "tempo.json", "volume.json"):
+                if not (self.work_dir / name).exists():
+                    logger.error(f"missing intermediate '{name}' in {self.work_dir}")
+                    sys.exit(1)
+        self._run_stage3_decode(target_attributes, final_filename, sweep, seed)
+        logger.success("inference pipeline finished")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="End-to-end piano cover generation pipeline."
+    )
+    parser.add_argument("--config", type=str, default="configs/default.yaml")
+    parser.add_argument("--output_name", type=str, default="output")
+
+    source = parser.add_mutually_exclusive_group(required=True)
+    source.add_argument("--input", type=str,
+                        help="path or URL of the source audio")
+    source.add_argument("--decode-only", action="store_true",
+                        help="reuse intermediates in the work dir")
+
+    attrs = parser.add_argument_group("Target Attribute Controls")
+    attrs.add_argument("--polyphony", type=int, default=1, choices=[0, 1, 2])
+    attrs.add_argument("--rhythm", type=int, default=1, choices=[0, 1, 2])
+    attrs.add_argument("--sustain", type=int, default=1, choices=[0, 1, 2])
+    attrs.add_argument("--overlap", type=int, default=2, choices=[0, 1, 2])
+
+    gen = parser.add_argument_group("Generation Parameters")
+    gen.add_argument("--temperature", type=float, default=None)
+    gen.add_argument("--top-p", type=float, default=None)
+    gen.add_argument("--seed", type=int, default=0)
+    gen.add_argument("--sweep", action="store_true",
+                     help="decode all 27 attribute combinations (batched)")
+
+    args = parser.parse_args(argv)
+
+    overrides = {}
+    if args.temperature is not None:
+        overrides.setdefault("decoder", {})["temperature"] = args.temperature
+    if args.top_p is not None:
+        overrides.setdefault("decoder", {})["top_p"] = args.top_p
+    config = load_config(args.config, overrides)
+
+    target_attributes = {
+        "polyphony_bin": args.polyphony,
+        "rhythm_intensity_bin": args.rhythm,
+        "sustain_bin": args.sustain,
+        "pitch_overlap_bin": args.overlap,
+    }
+
+    InferencePipeline(config).run(
+        audio_source=args.input,
+        target_attributes=target_attributes,
+        final_filename=args.output_name,
+        decode_only=args.decode_only,
+        sweep=args.sweep,
+        seed=args.seed,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
