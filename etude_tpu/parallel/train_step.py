@@ -76,18 +76,50 @@ def init_train_state(params: Params, tx: optax.GradientTransformation) -> TrainS
     )
 
 
+def init_sharded_state(
+    params: Params,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    data_axis: str = "data",
+    fsdp: bool = False,
+) -> TrainState:
+    """Place a TrainState on the mesh: parameters replicated, or ZeRO-style
+    sharded over the data axis when fsdp=True. The optimizer state is
+    initialized under jit so its moments inherit the parameter shardings."""
+    from ..parallel.mesh import fsdp_param_sharding, replicated
+
+    if fsdp:
+        specs = fsdp_param_sharding(mesh, params, data_axis)
+        params = jax.tree.map(jax.device_put, params, specs)
+    else:
+        params = jax.device_put(params, replicated(mesh))
+    opt_state = jax.jit(tx.init)(params)
+    rep = replicated(mesh)
+    return TrainState(
+        params=params,
+        opt_state=opt_state,
+        step=jax.device_put(jnp.int32(0), rep),
+        skipped=jax.device_put(jnp.int32(0), rep),
+    )
+
+
 def make_train_step(
     config: EtudeDecoderConfig,
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     data_axis: str = "data",
     compute_dtype=jnp.bfloat16,
+    infer_state_sharding: bool = False,
 ):
     """Build the jitted train step.
 
     Expects batch arrays shaped [accum_steps, micro_batch, T]; the micro_batch
     axis is sharded over the mesh's data axis. Gradients are accumulated with
     lax.scan so memory stays at one micro-batch of activations.
+
+    infer_state_sharding=True leaves the state's shardings as provided by the
+    caller (e.g. FSDP-sharded params from init_sharded_state) — XLA inserts
+    the all-gathers/reduce-scatters implied by the layout.
     """
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -133,8 +165,16 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
 
-    replicated = NamedSharding(mesh, P())
     batch_spec = NamedSharding(mesh, P(None, data_axis))
+    if infer_state_sharding:
+        # State keeps the caller-provided layout (FSDP or replicated).
+        return jax.jit(
+            step_fn,
+            donate_argnums=(0,),
+            in_shardings=(None, batch_spec),
+        )
+
+    replicated = NamedSharding(mesh, P())
     return jax.jit(
         step_fn,
         donate_argnums=(0,),

@@ -136,3 +136,42 @@ def test_checkpoint_roundtrip(tiny_config, tmp_path):
 
     cfg = EtudeDecoderConfig.from_json_file(tmp_path / "etude_decoder_config.json")
     assert cfg == tiny_config
+
+
+def test_fsdp_sharded_training_matches_replicated(tiny_config, rng):
+    """ZeRO-style parameter sharding over the data axis must train
+    identically to the replicated layout."""
+    from etude_tpu.parallel.train_step import init_sharded_state
+
+    mesh = make_mesh(data_parallel=8)
+    tx, _ = make_optimizer(learning_rate=1e-3, total_steps=10)
+
+    params = init_params(tiny_config, seed=0)
+    state_fsdp = init_sharded_state(params, tx, mesh, fsdp=True)
+    # At least one parameter is actually sharded (not fully replicated).
+    shardings = [p.sharding for p in jax.tree.leaves(state_fsdp.params)]
+    assert any(
+        not s.is_fully_replicated for s in shardings
+    ), "FSDP produced no sharded parameters"
+
+    step_fsdp = make_train_step(
+        tiny_config, tx, mesh=mesh, compute_dtype=jnp.float32,
+        infer_state_sharding=True,
+    )
+    batch = reshape_for_accum(_batch(tiny_config, rng, B=16), accum_steps=2)
+    state_fsdp, metrics_fsdp = step_fsdp(state_fsdp, batch)
+
+    params2 = init_params(tiny_config, seed=0)
+    state_rep = init_train_state(params2, tx)
+    step_rep = make_train_step(tiny_config, tx, compute_dtype=jnp.float32)
+    state_rep, metrics_rep = step_rep(
+        state_rep, {k: jnp.asarray(v) for k, v in batch.items()}
+    )
+    assert float(metrics_fsdp["loss"]) == pytest.approx(
+        float(metrics_rep["loss"]), rel=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(state_fsdp.params["lm_head"])),
+        np.asarray(state_rep.params["lm_head"]),
+        rtol=1e-5, atol=1e-6,
+    )
