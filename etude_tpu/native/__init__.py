@@ -1,0 +1,107 @@
+"""Native (C++) runtime components, built on demand with g++ and bound via
+ctypes. Each component has a pure JAX/numpy fallback; the native path is the
+host-runtime fast lane (e.g. DBN Viterbi decoding, the one genuinely
+algorithmic native dependency of the reference — madmom's Cython decoder)."""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..utils.logger import logger
+
+_SRC_DIR = Path(__file__).parent
+_LIB_CACHE: dict = {}
+
+
+def _build_library(source_name: str) -> Optional[Path]:
+    """Compile a .cc source into a cached shared library; None on failure."""
+    src = _SRC_DIR / source_name
+    if not src.exists():
+        return None
+    tag = hashlib.sha1(src.read_bytes()).hexdigest()[:12]
+    build_dir = Path(
+        os.environ.get("ETUDE_NATIVE_BUILD_DIR",
+                       Path(tempfile.gettempdir()) / "etude_native")
+    )
+    build_dir.mkdir(parents=True, exist_ok=True)
+    lib_path = build_dir / f"{src.stem}_{tag}.so"
+    if lib_path.exists():
+        return lib_path
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        str(src), "-o", str(lib_path),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as exc:
+        detail = getattr(exc, "stderr", "") or str(exc)
+        logger.warn(f"native build of {source_name} failed: {detail[:300]}")
+        return None
+    return lib_path
+
+
+def load_dbn_library() -> Optional[ctypes.CDLL]:
+    """The DBN Viterbi shared library, or None when unavailable."""
+    if "dbn" in _LIB_CACHE:
+        return _LIB_CACHE["dbn"]
+    lib_path = _build_library("dbn_viterbi.cc")
+    lib = None
+    if lib_path is not None:
+        try:
+            lib = ctypes.CDLL(str(lib_path))
+            lib.dbn_viterbi.restype = ctypes.c_double
+            lib.dbn_viterbi.argtypes = [
+                ctypes.POINTER(ctypes.c_float),   # obs
+                ctypes.c_int64, ctypes.c_int64,   # T, S
+                ctypes.POINTER(ctypes.c_int64),   # first_idx
+                ctypes.POINTER(ctypes.c_int64),   # last_idx
+                ctypes.c_int64, ctypes.c_int64,   # n_blocks, n_tempi
+                ctypes.POINTER(ctypes.c_float),   # logT
+                ctypes.POINTER(ctypes.c_int64),   # out_path
+            ]
+        except OSError as exc:
+            logger.warn(f"failed to load native DBN library: {exc}")
+            lib = None
+    _LIB_CACHE["dbn"] = lib
+    return lib
+
+
+def native_dbn_available() -> bool:
+    return load_dbn_library() is not None
+
+
+def dbn_viterbi_native(
+    obs: np.ndarray,        # [T, S] f32
+    first_idx: np.ndarray,  # [n_blocks, n_tempi] int64
+    last_idx: np.ndarray,   # [n_blocks, n_tempi] int64
+    logT: np.ndarray,       # [n_tempi, n_tempi] f32
+):
+    """Returns (path [T] int64, log_prob) via the native decoder."""
+    lib = load_dbn_library()
+    if lib is None:
+        raise RuntimeError("native DBN library unavailable")
+    obs = np.ascontiguousarray(obs, np.float32)
+    first = np.ascontiguousarray(first_idx, np.int64)
+    last = np.ascontiguousarray(last_idx, np.int64)
+    logT = np.ascontiguousarray(logT, np.float32)
+    T, S = obs.shape
+    n_blocks, n_tempi = first.shape
+    path = np.empty(T, np.int64)
+    log_prob = lib.dbn_viterbi(
+        obs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        T, S,
+        first.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        last.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_blocks, n_tempi,
+        logT.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        path.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return path, float(log_prob)

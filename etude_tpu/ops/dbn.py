@@ -119,7 +119,29 @@ class _DBNTracker:
         self.logT = self.ss.tempo_log_transitions().astype(np.float32)
 
     def _decode(self, obs_state_log: np.ndarray) -> Tuple[np.ndarray, float]:
-        """Viterbi path over per-state log densities [T, S]."""
+        """Viterbi path over per-state log densities [T, S].
+
+        Backend selection via ETUDE_DBN_BACKEND: "native" (C++ host decoder,
+        etude_tpu/native/dbn_viterbi.cc), "jax" (device lax.scan), or "auto"
+        (default: native when the toolchain built it, else jax)."""
+        import os
+
+        backend = os.environ.get("ETUDE_DBN_BACKEND", "auto")
+        if backend in ("auto", "native"):
+            try:
+                from ..native import dbn_viterbi_native, native_dbn_available
+
+                if native_dbn_available():
+                    return dbn_viterbi_native(
+                        obs_state_log, self.ss.first, self.ss.last, self.logT
+                    )
+                if backend == "native":
+                    raise RuntimeError("native DBN backend requested but unavailable")
+            except RuntimeError:
+                raise
+            except Exception:  # pragma: no cover - fall through to jax
+                pass
+
         ss = self.ss
         T = obs_state_log.shape[0]
 

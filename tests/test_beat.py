@@ -168,3 +168,48 @@ def test_dbn_downbeat_prefers_triple_meter():
     out = tracker(combined)
     downbeat_times = out[out[:, 1] == 1][:, 0]
     np.testing.assert_allclose(np.diff(downbeat_times), 3 * period / fps, atol=0.1)
+
+
+# ------------------------------------------------------- native DBN backend
+def test_native_dbn_backend_matches_jax(monkeypatch):
+    """The C++ host Viterbi must produce the same beats as the JAX scan."""
+    from etude_tpu.native import native_dbn_available
+
+    if not native_dbn_available():
+        pytest.skip("native toolchain unavailable")
+
+    fps = 43.066
+    act = _click_activations(600, 18)
+
+    monkeypatch.setenv("ETUDE_DBN_BACKEND", "native")
+    beats_native = DBNBeatTracker(min_bpm=70, max_bpm=250, fps=fps,
+                                  threshold=0.2)(act)
+    monkeypatch.setenv("ETUDE_DBN_BACKEND", "jax")
+    beats_jax = DBNBeatTracker(min_bpm=70, max_bpm=250, fps=fps,
+                               threshold=0.2)(act)
+    np.testing.assert_allclose(beats_native, beats_jax, atol=1e-9)
+
+
+def test_native_dbn_downbeat_matches_jax(monkeypatch):
+    from etude_tpu.native import native_dbn_available
+
+    if not native_dbn_available():
+        pytest.skip("native toolchain unavailable")
+
+    fps = 43.066
+    period = 20
+    T = 1200
+    beat = _click_activations(T, period)
+    down = np.full(T, 0.01)
+    for t in range(0, T, 4 * period):
+        down[t] = 0.9
+        beat[t] = 0.05
+    combined = np.stack([np.maximum(beat - down, 0), down], axis=-1)
+
+    monkeypatch.setenv("ETUDE_DBN_BACKEND", "native")
+    out_native = DBNDownBeatTracker(beats_per_bar=(3, 4), min_bpm=70,
+                                    max_bpm=250, fps=fps, threshold=0.2)(combined)
+    monkeypatch.setenv("ETUDE_DBN_BACKEND", "jax")
+    out_jax = DBNDownBeatTracker(beats_per_bar=(3, 4), min_bpm=70,
+                                 max_bpm=250, fps=fps, threshold=0.2)(combined)
+    np.testing.assert_allclose(out_native, out_jax, atol=1e-9)
