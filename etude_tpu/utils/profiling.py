@@ -1,0 +1,72 @@
+"""Tracing and profiling.
+
+The reference has no profiling story (SURVEY.md §5.1 — only tqdm bars).
+This module provides:
+  * StageTimer — hierarchical wall-clock timing of pipeline stages with a
+    printed summary (the pipeline orchestrators wrap each stage);
+  * trace() — a context manager around jax.profiler for on-demand XLA traces
+    (TensorBoard-compatible), enabled via ETUDE_TRACE_DIR or CLI flags;
+  * annotate() — jax.profiler.TraceAnnotation pass-through for custom spans.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+
+from .logger import logger
+
+
+class StageTimer:
+    """Collects named wall-clock spans and prints a summary table."""
+
+    def __init__(self):
+        self.spans: List[Dict] = []
+
+    @contextlib.contextmanager
+    def span(self, name: str):
+        start = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.spans.append({
+                "name": name,
+                "seconds": time.perf_counter() - start,
+            })
+
+    def summary(self) -> Dict[str, float]:
+        return {s["name"]: s["seconds"] for s in self.spans}
+
+    def print_summary(self, title: str = "Timing") -> None:
+        if not self.spans:
+            return
+        total = sum(s["seconds"] for s in self.spans)
+        logger.stage(f"{title} ({total:.2f}s total)")
+        for s in self.spans:
+            share = 100.0 * s["seconds"] / total if total else 0.0
+            logger.info(f"{s['name']:<32s} {s['seconds']:>8.2f}s  {share:5.1f}%")
+
+
+@contextlib.contextmanager
+def trace(trace_dir: Optional[str] = None):
+    """XLA profiler trace around a block; no-op when no directory is given
+    (explicitly or via ETUDE_TRACE_DIR)."""
+    trace_dir = trace_dir or os.environ.get("ETUDE_TRACE_DIR")
+    if not trace_dir:
+        yield
+        return
+    logger.info(f"profiler trace → {trace_dir}")
+    jax.profiler.start_trace(trace_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named span visible in profiler traces."""
+    return jax.profiler.TraceAnnotation(name)

@@ -29,6 +29,7 @@ from etude_tpu.utils.audio import analyze_volume, save_volume_map
 from etude_tpu.utils.download import download_audio_from_url
 from etude_tpu.utils.logger import logger
 from etude_tpu.utils.model_loader import load_etude_decoder
+from etude_tpu.utils.profiling import StageTimer, trace
 
 
 class InferencePipeline:
@@ -40,6 +41,7 @@ class InferencePipeline:
         self.work_dir = self.output_dir / "temp"
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.work_dir.mkdir(parents=True, exist_ok=True)
+        self.timer = StageTimer()
         logger.info(f"Output directory: {self.output_dir.resolve()}")
         logger.info(f"Working directory: {self.work_dir.resolve()}")
 
@@ -184,17 +186,24 @@ class InferencePipeline:
         sweep: bool = False,
         seed: int = 0,
     ) -> None:
-        if not decode_only:
-            audio_path = self._prepare_audio(audio_source)
-            self._run_stage1_extract(audio_path)
-            self._run_stage2_structuralize(audio_path)
-        else:
-            logger.skip("stages 1 & 2 (decode-only mode)")
-            for name in ("extract.json", "tempo.json", "volume.json"):
-                if not (self.work_dir / name).exists():
-                    logger.error(f"missing intermediate '{name}' in {self.work_dir}")
-                    sys.exit(1)
-        self._run_stage3_decode(target_attributes, final_filename, sweep, seed)
+        with trace():
+            if not decode_only:
+                audio_path = self._prepare_audio(audio_source)
+                with self.timer.span("stage1_extract"):
+                    self._run_stage1_extract(audio_path)
+                with self.timer.span("stage2_structuralize"):
+                    self._run_stage2_structuralize(audio_path)
+            else:
+                logger.skip("stages 1 & 2 (decode-only mode)")
+                for name in ("extract.json", "tempo.json", "volume.json"):
+                    if not (self.work_dir / name).exists():
+                        logger.error(
+                            f"missing intermediate '{name}' in {self.work_dir}"
+                        )
+                        sys.exit(1)
+            with self.timer.span("stage3_decode"):
+                self._run_stage3_decode(target_attributes, final_filename, sweep, seed)
+        self.timer.print_summary("Pipeline timing")
         logger.success("inference pipeline finished")
 
 

@@ -26,7 +26,6 @@ from etude_tpu.parallel.train_step import (
     init_train_state,
     make_optimizer,
     make_train_step,
-    reshape_for_accum,
 )
 from etude_tpu.utils.logger import logger
 from etude_tpu.utils.training import load_checkpoint, save_checkpoint, set_seed
@@ -145,14 +144,20 @@ def main(argv=None) -> int:
         f"global batch {global_batch} (micro {tc.batch_size} x accum {accum})"
     )
 
+    from etude_tpu.parallel.prefetch import prefetch_to_mesh
+
     done = False
     for epoch in range(start_epoch, tc.num_epochs):
         t_epoch = time.time()
         losses = []
-        for batch in dataset.batches(
-            batch_size=global_batch, shuffle=True, seed=cfg.env.seed + epoch
-        ):
-            batch = reshape_for_accum(batch, accum)
+        # Async double-buffered host→device pipeline.
+        batches = prefetch_to_mesh(
+            dataset.batches(
+                batch_size=global_batch, shuffle=True, seed=cfg.env.seed + epoch
+            ),
+            mesh, accum, data_axis=cfg.mesh.data_axis,
+        )
+        for batch in batches:
             state, metrics = train_step(state, batch)
             losses.append(float(metrics["loss"]))
             if args.max_steps and int(state.step) >= args.max_steps:
