@@ -371,8 +371,11 @@ def forward_with_cache(
         mlp_out = m @ layer["mlp_out"]["w"].astype(compute_dtype) + layer["mlp_out"]["b"].astype(compute_dtype)
         return x + attn_out + mlp_out, (k_cache, v_cache)
 
+    # Unrolling the layer scan lets XLA fuse across layers in the
+    # latency-bound single-token decode step (S == 1).
+    unroll = config.num_hidden_layers if S == 1 else 1
     h, (new_k, new_v) = jax.lax.scan(
-        layer_body, h, (params["layers"], cache["k"], cache["v"])
+        layer_body, h, (params["layers"], cache["k"], cache["v"]), unroll=unroll
     )
     h = _layer_norm(h, params["final_ln"]["scale"], params["final_ln"]["bias"], eps)
     logits = h.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
