@@ -30,11 +30,11 @@ SEP_HOP = 1024
 SEP_MELS = 128
 SEP_FMIN = 30.0
 SEP_FMAX = 11000.0
-FRAME_BUCKET = 512
+FRAME_BUCKET = 2048
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _separate_mel(params, config: SeparatorConfig, wave: jnp.ndarray):
+def _separate_mel_jit(params, config: SeparatorConfig, wave, cos_m, sin_m, fb):
     """wave [N] (padded) → per-stem mel power [num_stems, T, 128]."""
     pad = SEP_N_FFT // 2
     w = jnp.pad(wave, pad, mode="reflect")
@@ -45,17 +45,29 @@ def _separate_mel(params, config: SeparatorConfig, wave: jnp.ndarray):
     window = jnp.asarray(
         (0.5 * (1.0 - np.cos(2 * np.pi * n / SEP_N_FFT))).astype(np.float32)
     )
-    spec = jnp.fft.rfft(frames * window[None, :], axis=-1)
-    mag = jnp.abs(spec)  # [T, F]
+    from ..ops.mel import frame_power_spectrum
+
+    power_spec = frame_power_spectrum(frames * window[None, :], cos_m, sin_m)
+    mag = jnp.sqrt(jnp.maximum(power_spec, 0.0))  # [T, F]
 
     masks = forward(params, config, jnp.log1p(mag)[None])[0]  # [S, T, F]
     stem_power = (masks * mag[None]) ** 2
+    return jnp.einsum("stf,fm->stm", stem_power, fb)
 
-    fb = jnp.asarray(mel_filterbank(
+
+@functools.lru_cache(maxsize=1)
+def _sep_fb_device():
+    return jax.device_put(mel_filterbank(
         SEP_SR, SEP_N_FFT, SEP_MELS, fmin=SEP_FMIN, fmax=SEP_FMAX,
         norm="slaney", mel_scale="slaney",
     ))
-    return jnp.einsum("stf,fm->stm", stem_power, fb)
+
+
+def _separate_mel(params, config: SeparatorConfig, wave: jnp.ndarray):
+    from ..ops.mel import dft_matrices
+
+    cos_m, sin_m = dft_matrices(SEP_N_FFT)
+    return _separate_mel_jit(params, config, wave, cos_m, sin_m, _sep_fb_device())
 
 
 def power_to_db(S: np.ndarray, top_db: float = 80.0, amin: float = 1e-10) -> np.ndarray:

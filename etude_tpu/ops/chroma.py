@@ -41,7 +41,8 @@ def _pitch_filterbank(sr: int, n_fft: int, tuning_cents: float = 0.0) -> np.ndar
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "feature_rate"))
-def _chroma_core(wave: jnp.ndarray, fb: jnp.ndarray, sr: int, feature_rate: int):
+def _chroma_core(wave: jnp.ndarray, fb: jnp.ndarray, cos_m, sin_m,
+                 sr: int, feature_rate: int):
     hop = sr // feature_rate
     pad = _N_FFT // 2
     w = jnp.pad(wave, pad, mode="reflect")
@@ -51,8 +52,9 @@ def _chroma_core(wave: jnp.ndarray, fb: jnp.ndarray, sr: int, feature_rate: int)
     window = jnp.asarray(
         (0.5 * (1 - np.cos(2 * np.pi * n / _N_FFT))).astype(np.float32)
     )
-    spec = jnp.fft.rfft(w[idx] * window[None], axis=-1)
-    power = jnp.abs(spec) ** 2                      # [T, bins]
+    from .mel import frame_power_spectrum
+
+    power = frame_power_spectrum(w[idx] * window[None], cos_m, sin_m)  # [T, bins]
     pitch_energy = power @ fb                       # [T, 84]
 
     chroma = pitch_energy.reshape(n_frames, -1, 12).sum(axis=1)  # [T, 12]
@@ -83,11 +85,25 @@ def chroma_features(
     tuning_cents: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """waveform → (chroma [T, 12], onset [T, 12]) at feature_rate Hz."""
+    from .mel import dft_matrices
+
     fb_pitch = _pitch_filterbank(sr, _N_FFT, tuning_cents)
+    cos_m, sin_m = dft_matrices(_N_FFT)
+
+    # Bucket the frame count so different song lengths share programs.
+    hop = sr // feature_rate
+    n = len(wave)
+    true_frames = n // hop + 1
+    bucket = 2048
+    target_frames = -(-true_frames // bucket) * bucket
+    target_len = (target_frames - 1) * hop
+    wave = np.pad(wave, (0, max(0, target_len - n)))[:target_len]
+
     chroma, onset = _chroma_core(
-        jnp.asarray(wave, jnp.float32), jnp.asarray(fb_pitch), sr, feature_rate
+        jnp.asarray(wave, jnp.float32), jnp.asarray(fb_pitch), cos_m, sin_m,
+        sr, feature_rate
     )
-    return np.asarray(chroma), np.asarray(onset)
+    return np.asarray(chroma)[:true_frames], np.asarray(onset)[:true_frames]
 
 
 def estimate_tuning(wave: np.ndarray, sr: int = ALIGN_SR) -> float:

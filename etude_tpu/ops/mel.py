@@ -90,25 +90,41 @@ def _hann_window(win_length: int) -> np.ndarray:
     return (0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=4)
+def dft_matrices(n_fft: int):
+    """Real-DFT basis [n_fft, n_fft//2+1] (cos, sin) as DEVICE arrays.
+
+    XLA's TPU FFT lowers catastrophically on this stack (minutes-long
+    compiles); an explicit DFT as two MXU matmuls is fast and exact for the
+    frame sizes used here (2048/4096). The matrices are placed on device once
+    and threaded into jitted programs as arguments — embedding them as HLO
+    constants bloats compiles.
+    """
+    k = np.arange(n_fft)
+    freqs = np.arange(n_fft // 2 + 1)
+    angle = -2.0 * np.pi * np.outer(k, freqs) / n_fft
+    return (
+        jax.device_put(np.cos(angle).astype(np.float32)),
+        jax.device_put(np.sin(angle).astype(np.float32)),
+    )
+
+
+def frame_power_spectrum(
+    frames: jnp.ndarray, cos_m: jnp.ndarray, sin_m: jnp.ndarray
+) -> jnp.ndarray:
+    """|rDFT(frames)|² via matmul DFT: [T, n_fft] → [T, n_fft//2+1]."""
+    re = frames @ cos_m
+    im = frames @ sin_m
+    return re * re + im * im
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("sr", "n_fft", "hop", "win_length", "n_mels", "fmin",
-                     "fmax", "log_offset", "center"),
+    static_argnames=("n_fft", "hop", "win_length", "log_offset", "center"),
 )
-def log_mel_spectrogram(
-    wave: jnp.ndarray,
-    *,
-    sr: int = 16000,
-    n_fft: int = 2048,
-    hop: int = 256,
-    win_length: int = 2048,
-    n_mels: int = 256,
-    fmin: float = 0.0,
-    fmax: Optional[float] = None,
-    log_offset: float = 1e-8,
-    center: bool = True,
-) -> jnp.ndarray:
-    """waveform [T] → log-mel [n_frames, n_mels] on device."""
+def _log_mel_jit(
+    wave, cos_m, sin_m, fb, *, n_fft, hop, win_length, log_offset, center
+):
     if center:
         pad = n_fft // 2
         wave = jnp.pad(wave, pad, mode="reflect")
@@ -124,12 +140,58 @@ def log_mel_spectrogram(
         window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
     frames = frames * window[None, :]
 
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
-    power = jnp.abs(spec) ** 2  # [n_frames, n_fft//2+1]
-
-    fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+    power = frame_power_spectrum(frames, cos_m, sin_m)
     mel = power @ fb  # MXU matmul
     return jnp.log(mel + log_offset)
+
+
+@functools.lru_cache(maxsize=8)
+def _mel_fb_device(sr, n_fft, n_mels, fmin, fmax):
+    return jax.device_put(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+
+
+# Waveform lengths are bucketed to this many frames so different song
+# lengths share compiled programs (remote compiles are expensive).
+FRAME_BUCKET = 2048
+
+
+def log_mel_spectrogram(
+    wave: jnp.ndarray,
+    *,
+    sr: int = 16000,
+    n_fft: int = 2048,
+    hop: int = 256,
+    win_length: int = 2048,
+    n_mels: int = 256,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    log_offset: float = 1e-8,
+    center: bool = True,
+    bucket_frames: int = FRAME_BUCKET,
+) -> jnp.ndarray:
+    """waveform [T] → log-mel [n_frames, n_mels] on device.
+
+    The waveform is zero-padded up to a frame-count bucket (one compiled
+    program per bucket); the output is trimmed to the true frame count.
+    """
+    cos_m, sin_m = dft_matrices(n_fft)
+    fb = _mel_fb_device(sr, n_fft, n_mels, fmin, fmax)
+
+    n = wave.shape[0]
+    true_frames = (n // hop + 1) if center else (1 + max(n - n_fft, 0) // hop)
+    if bucket_frames:
+        target_frames = -(-true_frames // bucket_frames) * bucket_frames
+        target_len = (target_frames - 1) * hop + (0 if center else n_fft)
+        if target_len > n:
+            wave = jnp.pad(wave, (0, target_len - n))
+        elif target_len < n:
+            wave = wave[:target_len]
+    out = _log_mel_jit(
+        wave, cos_m, sin_m, fb,
+        n_fft=n_fft, hop=hop, win_length=win_length,
+        log_offset=log_offset, center=center,
+    )
+    return out[:true_frames]
 
 
 def wav_to_logmel(wave: np.ndarray, feature_cfg) -> np.ndarray:
