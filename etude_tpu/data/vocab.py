@@ -167,6 +167,9 @@ class Vocab:
         return self.token_to_id.get("Bar_EOS", -1)
 
     # Method aliases for the reference CLI surface.
+    def encode_and_save_sequence(self, sequence, filepath, format: str = "npy"):
+        self.save_id_sequence(sequence, filepath, fmt=format)
+
     def get_pad_id(self) -> int:
         return self.pad_id
 

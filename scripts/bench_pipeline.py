@@ -48,6 +48,9 @@ def synth_song(path: Path, seconds: int, sr: int = 44100) -> None:
 
 
 def run_pipeline(work: Path, stage: str) -> dict:
+    """Each neural stage runs twice in-process: the first pass pays jit
+    compiles (cold), the second measures steady state (warm) — the remote
+    compile service's cross-process cache is unreliable."""
     from etude_tpu.config import load_config
     from etude_tpu.utils.profiling import StageTimer
 
@@ -65,8 +68,10 @@ def run_pipeline(work: Path, stage: str) -> dict:
         from etude_tpu.data.extractor import AMTAPC_Extractor
         from etude_tpu.utils.audio import analyze_volume, save_volume_map
 
+        ex = AMTAPC_Extractor(cfg.extractor, model_path=None)
+        with timer.span("extract_cold"):
+            ex.extract(song, work / "extract.json")
         with timer.span("extract"):
-            ex = AMTAPC_Extractor(cfg.extractor, model_path=None)
             notes = ex.extract(song, work / "extract.json")
             vol = analyze_volume(song)
             save_volume_map(vol, work / "volume.json")
@@ -77,11 +82,14 @@ def run_pipeline(work: Path, stage: str) -> dict:
         from etude_tpu.data.beat_detector import BeatDetector
         from etude_tpu.data.separation import SourceSeparator
 
+        sep = SourceSeparator(model_path=None)
+        det = BeatDetector(cfg.beat_detector, model_path=None)
+        with timer.span("structuralize_cold"):
+            feats = sep.separate_features(song)
+            det.activations(feats)
         with timer.span("separation"):
-            sep = SourceSeparator(model_path=None)
             feats = sep.separate_features(song)
         with timer.span("beat_detect"):
-            det = BeatDetector(cfg.beat_detector, model_path=None)
             res = det.detect(feats, work / "beat_pred.json")
         with timer.span("beat_analyze"):
             analyzer = BeatAnalyzer()
@@ -135,10 +143,16 @@ def run_pipeline(work: Path, stage: str) -> dict:
             max_bar_token_limit=cfg.decoder.max_bar_token_limit,
         )
         attrs = [{k: 1 for k in ATTR_KEYS}] * len(bars)
+        with timer.span("decode_cold"):
+            engine.generate(
+                params, bars[: min(len(bars), 12)], attrs[:12],
+                temperature=0.0, max_output_tokens=cfg.decoder.max_output_tokens,
+            )
         with timer.span("decode"):
             out_bars = engine.generate(
                 params, bars, attrs,
                 temperature=0.0, max_output_tokens=cfg.decoder.max_output_tokens,
+                seed=1,
             )
         timings["generated_tokens"] = sum(len(b) for b in out_bars)
 

@@ -213,3 +213,23 @@ def test_native_dbn_downbeat_matches_jax(monkeypatch):
     out_jax = DBNDownBeatTracker(beats_per_bar=(3, 4), min_bpm=70,
                                  max_bpm=250, fps=fps, threshold=0.2)(combined)
     np.testing.assert_allclose(out_native, out_jax, atol=1e-9)
+
+
+def test_pallas_dilated_backend_matches(monkeypatch):
+    """ETUDE_DILATED_BACKEND=pallas must match the XLA slice formulation
+    (interpret mode on CPU)."""
+    from etude_tpu.ops.dilated_attention import (
+        dilated_attention,
+        dilated_attention_pallas,
+    )
+
+    B, H, T, d = 1, 8, 128, 32
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, T, d)).astype(np.float32))
+    er = jnp.asarray(0.1 * rng.normal(size=(H, d, 5)).astype(np.float32))
+    for dil in (1, 8):
+        a = np.asarray(dilated_attention(q, k, v, er, dil))
+        b = np.asarray(dilated_attention_pallas(q, k, v, er, dil))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

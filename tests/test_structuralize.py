@@ -158,3 +158,25 @@ def test_beat_analyzer_json_roundtrip(tmp_path):
     out = tmp_path / "tempo.json"
     analyzer.save_tempo_data(regions, out)
     assert json.loads(out.read_text()) == regions
+
+
+def test_run_separation_cli(tmp_path):
+    import subprocess, sys, os
+    from etude_tpu.utils.audio import save_wav
+
+    sr = 44100
+    wave = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+    wav = tmp_path / "in.wav"
+    save_wav(wav, wave, sr)
+    out = tmp_path / "sep.npy"
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    proc = subprocess.run(
+        [sys.executable, "scripts/run_separation.py",
+         "--input", str(wav), "--output", str(out)],
+        capture_output=True, text=True, env=env, cwd=str(
+            __import__("pathlib").Path(__file__).resolve().parent.parent),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    feats = np.load(out)
+    assert feats.shape[0] == 5 and feats.shape[2] == 128

@@ -169,6 +169,23 @@ def main(argv=None) -> int:
             f"epoch {epoch + 1}/{tc.num_epochs}: loss {np.mean(losses):.4f} "
             f"lr {lr:.2e} skipped {int(state.skipped)} ({dt:.1f}s)"
         )
+        # Append per-epoch metrics for offline observability.
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        with open(ckpt_dir / "metrics.jsonl", "a", encoding="utf-8") as f:
+            import json
+
+            f.write(json.dumps({
+                "epoch": epoch + 1,
+                "step": int(state.step),
+                "loss": float(np.mean(losses)),
+                "lr": lr,
+                "skipped_updates": int(state.skipped),
+                "seconds": dt,
+                "tokens_per_sec": (
+                    len(losses) * global_batch * tc.max_seq_len / dt
+                    if dt > 0 else 0.0
+                ),
+            }) + "\n")
         save_checkpoint(
             ckpt_dir, state, epoch=epoch + 1, global_step=int(state.step),
             model_config=model_config,
