@@ -93,11 +93,14 @@ class BeatDetector:
         input_file = None
         if isinstance(features_or_path, (str, Path)):
             input_file = Path(features_or_path)
-            features = np.load(input_file)
+            features = np.load(input_file).astype(np.float32)
+        elif isinstance(features_or_path, np.ndarray):
+            features = features_or_path.astype(np.float32)
         else:
+            # Device-resident features (in-process stage handoff).
             features = features_or_path
 
-        act = self.activations(features.astype(np.float32))
+        act = self.activations(features)
         beat_act, down_act = act[:, 0], act[:, 1]
 
         beats = self.beat_tracker(beat_act)

@@ -33,6 +33,23 @@ SEP_FMAX = 11000.0
 FRAME_BUCKET = 2048
 
 
+@jax.jit
+def _power_to_db_jit(mel_power, true_frames_mask):
+    """librosa power_to_db(ref=per-stem max, top_db 80) on device.
+
+    true_frames_mask [T] excludes padded frames from the per-stem max."""
+    amin = 1e-10
+    S = jnp.maximum(mel_power, 0.0)
+    masked = jnp.where(true_frames_mask[None, :, None], S, 0.0)
+    ref = jnp.maximum(masked.max(axis=(1, 2), keepdims=True), amin)
+    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, S))
+    log_spec = log_spec - 10.0 * jnp.log10(ref)
+    peak = jnp.where(true_frames_mask[None, :, None], log_spec, -jnp.inf).max(
+        axis=(1, 2), keepdims=True
+    )
+    return jnp.maximum(log_spec, peak - 80.0)
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def _separate_mel_jit(params, config: SeparatorConfig, wave, cos_m, sin_m, fb):
     """wave [N] (padded) → per-stem mel power [num_stems, T, 128]."""
@@ -108,7 +125,13 @@ class SourceSeparator:
         self,
         audio_path: Union[str, Path],
         output_npy_path: Optional[Union[str, Path]] = None,
-    ) -> np.ndarray:
+        return_device: bool = False,
+    ):
+        """Audio → dB-mel features (5, time, 128).
+
+        return_device=True hands back the device-resident array (the beat
+        detector consumes it directly — no host round trip of ~50 MB).
+        """
         wave, _ = decode_audio(audio_path, target_sr=SEP_SR, mono=True)
         true_frames = 1 + len(wave) // SEP_HOP
         # Bucket the frame count to bound recompiles across song lengths.
@@ -119,15 +142,17 @@ class SourceSeparator:
         else:
             wave = wave[:target_len]
 
-        mel_power = np.asarray(
-            _separate_mel(self.params, self.config, jnp.asarray(wave, jnp.float32))
-        )[:, :true_frames]
-
-        features = np.stack([power_to_db(s) for s in mel_power])
+        mel_power = _separate_mel(
+            self.params, self.config, jnp.asarray(wave, jnp.float32)
+        )
+        mask = (jnp.arange(mel_power.shape[1]) < true_frames)
+        features_dev = _power_to_db_jit(mel_power, mask)[:, :true_frames]
 
         if output_npy_path is not None:
             output_npy_path = Path(output_npy_path)
             output_npy_path.parent.mkdir(parents=True, exist_ok=True)
-            np.save(output_npy_path, features.astype(np.float32))
+            np.save(output_npy_path, np.asarray(features_dev, np.float32))
             logger.debug(f"separation features saved → {output_npy_path}")
-        return features.astype(np.float32)
+        if return_device:
+            return features_dev
+        return np.asarray(features_dev, np.float32)

@@ -51,7 +51,9 @@ class EvaluationRunner:
         rows = []
 
         for meta in songs:
-            song_id = meta.get("id") or meta.get("song_id") or meta.get("name")
+            # Reference metadata.json entries use "dir_name" (docs/songs).
+            song_id = (meta.get("dir_name") or meta.get("id")
+                       or meta.get("song_id") or meta.get("name"))
             song_dir = self.eval_dir / str(song_id)
             if not song_dir.exists():
                 continue

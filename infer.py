@@ -74,7 +74,9 @@ class InferencePipeline:
         logger.stage("Structuralize: separation + beat grid")
         logger.step("Source separation (in-process)")
         separator = SourceSeparator(model_path=self.config.paths.separator_model)
-        features = separator.separate_features(audio_path)
+        # Device-resident handoff: the beat detector consumes the features
+        # directly, skipping the reference's sep.npy disk round trip.
+        features = separator.separate_features(audio_path, return_device=True)
 
         logger.step("Beat/downbeat detection")
         detector = BeatDetector(

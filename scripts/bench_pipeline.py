@@ -85,10 +85,10 @@ def run_pipeline(work: Path, stage: str) -> dict:
         sep = SourceSeparator(model_path=None)
         det = BeatDetector(cfg.beat_detector, model_path=None)
         with timer.span("structuralize_cold"):
-            feats = sep.separate_features(song)
+            feats = sep.separate_features(song, return_device=True)
             det.activations(feats)
         with timer.span("separation"):
-            feats = sep.separate_features(song)
+            feats = sep.separate_features(song, return_device=True)
         with timer.span("beat_detect"):
             res = det.detect(feats, work / "beat_pred.json")
         with timer.span("beat_analyze"):
