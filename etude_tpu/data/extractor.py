@@ -49,19 +49,22 @@ def amt_config_from(config: ExtractorConfig, n_frame: Optional[int] = None) -> A
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def _transcribe_batch(params, config: AMTConfig, spec: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("config", "branches"))
+def _transcribe_batch(params, config: AMTConfig, spec: jnp.ndarray,
+                      branches: tuple = ("freq", "time")):
     """[B, n_bin, margin+T+margin] → activation maps + on-device velocity
-    argmax for both head branches."""
+    argmax. Activations are downcast to f16 and velocities to uint8 before
+    leaving the device (host transfer is a bottleneck on tunneled chips);
+    `branches` limits output to the head set the caller actually uses."""
     out = forward(params, config, spec)
-    return {
-        "onset_freq": out["onset_freq"], "offset_freq": out["offset_freq"],
-        "mpe_freq": out["mpe_freq"],
-        "velocity_freq": jnp.argmax(out["velocity_freq"], axis=-1).astype(jnp.int32),
-        "onset_time": out["onset_time"], "offset_time": out["offset_time"],
-        "mpe_time": out["mpe_time"],
-        "velocity_time": jnp.argmax(out["velocity_time"], axis=-1).astype(jnp.int32),
-    }
+    result = {}
+    for branch in branches:
+        for head in ("onset", "offset", "mpe"):
+            result[f"{head}_{branch}"] = out[f"{head}_{branch}"].astype(jnp.float16)
+        result[f"velocity_{branch}"] = jnp.argmax(
+            out[f"velocity_{branch}"], axis=-1
+        ).astype(jnp.uint8)
+    return result
 
 
 class AMTAPC_Extractor:
@@ -124,7 +127,8 @@ class AMTAPC_Extractor:
         ])
         return segs, T
 
-    def _transcript(self, feature: np.ndarray) -> Dict[str, np.ndarray]:
+    def _transcript(self, feature: np.ndarray,
+                    branches: tuple = ("time",)) -> Dict[str, np.ndarray]:
         """Run every segment through the model (batched) and stitch maps."""
         segs, T = self._segment(feature)
         n_seg = segs.shape[0]
@@ -139,12 +143,16 @@ class AMTAPC_Extractor:
         chunks = []
         for i in range(0, segs.shape[0], B):
             out = _transcribe_batch(
-                self.params, self.amt_config, jnp.asarray(segs[i:i + B])
+                self.params, self.amt_config, jnp.asarray(segs[i:i + B]),
+                branches=branches,
             )
             chunks.append(jax.tree.map(np.asarray, out))
 
+        # f16/uint8 on the wire; widen on host (numpy f16 compute is slow).
         maps = {
-            k: np.concatenate([c[k] for c in chunks], axis=0)
+            k: np.concatenate([c[k] for c in chunks], axis=0).astype(
+                np.int32 if k.startswith("velocity") else np.float32
+            )
             for k in chunks[0]
         }
         # [n_seg(+pad), n_frame, 88] → [T, 88]

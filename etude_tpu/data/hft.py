@@ -120,7 +120,8 @@ class HFT_Transformer:
         chunks = []
         for i in range(0, segs.shape[0], B):
             out = _transcribe_batch(
-                self.params, self.amt_config, jnp.asarray(segs[i:i + B])
+                self.params, self.amt_config, jnp.asarray(segs[i:i + B]),
+                branches=("time",),
             )
             chunks.append(jax.tree.map(np.asarray, out))
         maps = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}

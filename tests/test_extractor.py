@@ -75,7 +75,7 @@ def test_transcript_batched_equals_serial(small_extractor):
         small_extractor.config, params=small_extractor.params, segment_batch=1
     )
     maps_s = solo._transcript(feat)
-    for key in ("onset_time", "mpe_freq", "velocity_time"):
+    for key in ("onset_time", "mpe_time", "velocity_time"):
         np.testing.assert_allclose(
             maps_b[key], maps_s[key], rtol=5e-3, atol=5e-3
         )
