@@ -11,6 +11,7 @@ no native madmom dependency.
 
 from __future__ import annotations
 
+import functools
 import json
 from pathlib import Path
 from typing import Dict, Optional, Union
@@ -27,6 +28,13 @@ from ..models.beat_transformer import (
 )
 from ..ops.dbn import DBNBeatTracker, DBNDownBeatTracker
 from ..utils.logger import logger
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _beat_activations_jit(params, config: BeatTransformerConfig, features):
+    """One program for the whole activation pass; f16 on the wire."""
+    logits, _ = forward(params, config, features[None])
+    return jax.nn.sigmoid(logits[0]).astype(jnp.float16)
 
 
 def beat_model_config_from(config: BeatDetectorConfig) -> BeatTransformerConfig:
@@ -77,11 +85,22 @@ class BeatDetector:
         )
 
     def activations(self, features: np.ndarray) -> np.ndarray:
-        """[instr, T, mel] features → sigmoid activations [T, 2]."""
-        logits, _ = forward(
-            self.params, self.model_config, jnp.asarray(features)[None]
-        )
-        return np.asarray(jax.nn.sigmoid(logits[0]))
+        """[instr, T, mel] features → sigmoid activations [T, 2].
+
+        T is padded to a bucket (silence = −80 dB) so song lengths share one
+        compiled program; activations are trimmed back to the true length.
+        """
+        bucket = 2048
+        T = features.shape[1]
+        target = max(-(-T // bucket) * bucket, bucket)
+        feats = jnp.asarray(features)
+        if target > T:
+            feats = jnp.pad(
+                feats, ((0, 0), (0, target - T), (0, 0)),
+                constant_values=-80.0,
+            )
+        act = _beat_activations_jit(self.params, self.model_config, feats)
+        return np.asarray(act, np.float32)[:T]
 
     def detect(
         self,
