@@ -194,8 +194,17 @@ def main(argv=None) -> int:
         if done:
             break
 
+    # Export inference weights (params-only) + vocab + config: the layout
+    # infer.py's model loader consumes (paths.decoder_model/_config/_vocab).
+    from etude_tpu.utils.training import save_params_only
+
+    save_params_only(ckpt_dir / "model", jax.device_get(state.params), model_config)
     vocab.save(ckpt_dir / "vocab.json")
     logger.success(f"training complete → {ckpt_dir}")
+    logger.info(
+        f"inference weights: {ckpt_dir / 'model'} "
+        f"(point paths.decoder_model here)"
+    )
     return 0
 
 
