@@ -56,7 +56,12 @@ BIN_STD_MULTIPLIERS = {
 
 def split_ids_into_bars(ids: Sequence[int], bos_id: int, eos_id: int) -> List[List[int]]:
     """Split a token-id stream into [BOS ... EOS] bars, closing unterminated
-    bars and dropping bars with no payload."""
+    bars and dropping bars with no payload.
+
+    Intentionally NOT the same as tokenizer.split_sequence_into_bars: the
+    reference's dataset splitter closes a bar interrupted by a new BOS
+    (etude/data/dataset.py:177-202) while its inference splitter drops it —
+    both behaviors are preserved for parity."""
     bars: List[List[int]] = []
     current: List[int] = []
     in_bar = False

@@ -52,12 +52,10 @@ def _power_to_db_jit(mel_power, true_frames_mask):
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _separate_mel_jit(params, config: SeparatorConfig, wave, cos_m, sin_m, fb):
-    """wave [N] (padded) → per-stem mel power [num_stems, T, 128]."""
-    pad = SEP_N_FFT // 2
-    w = jnp.pad(wave, pad, mode="reflect")
-    n_frames = 1 + (w.shape[0] - SEP_N_FFT) // SEP_HOP
+    """wave [N] (host reflect-padded) → per-stem mel power [stems, T, 128]."""
+    n_frames = 1 + (wave.shape[0] - SEP_N_FFT) // SEP_HOP
     idx = jnp.arange(SEP_N_FFT)[None, :] + SEP_HOP * jnp.arange(n_frames)[:, None]
-    frames = w[idx]
+    frames = wave[idx]
     n = np.arange(SEP_N_FFT)
     window = jnp.asarray(
         (0.5 * (1.0 - np.cos(2 * np.pi * n / SEP_N_FFT))).astype(np.float32)
@@ -134,16 +132,17 @@ class SourceSeparator:
         """
         wave, _ = decode_audio(audio_path, target_sr=SEP_SR, mono=True)
         true_frames = 1 + len(wave) // SEP_HOP
-        # Bucket the frame count to bound recompiles across song lengths.
+        # Host reflect pad first, then bucket the frame count with zeros so
+        # the true tail frames see the reflected signal (torch/librosa
+        # center semantics) and recompiles stay bounded.
+        from ..ops.mel import reflect_pad_host
+        padded = reflect_pad_host(wave, SEP_N_FFT // 2)
         bucket_frames = int(np.ceil(true_frames / FRAME_BUCKET) * FRAME_BUCKET)
-        target_len = (bucket_frames - 1) * SEP_HOP
-        if len(wave) < target_len:
-            wave = np.pad(wave, (0, target_len - len(wave)))
-        else:
-            wave = wave[:target_len]
+        target_len = (bucket_frames - 1) * SEP_HOP + SEP_N_FFT
+        padded = np.pad(padded, (0, max(0, target_len - len(padded))))[:target_len]
 
         mel_power = _separate_mel(
-            self.params, self.config, jnp.asarray(wave, jnp.float32)
+            self.params, self.config, jnp.asarray(padded, jnp.float32)
         )
         mask = (jnp.arange(mel_power.shape[1]) < true_frames)
         features_dev = _power_to_db_jit(mel_power, mask)[:, :true_frames]

@@ -73,8 +73,7 @@ class EvaluationRunner:
     # ---- per-metric helpers -------------------------------------------
     def _compute_wpd(self, song_dir: Path, version: str) -> Optional[float]:
         origin = song_dir / "origin.wav"
-        candidates = [song_dir / f"{version}.wav", song_dir / f"{version}.mid"]
-        cover_audio = candidates[0]
+        cover_audio = song_dir / f"{version}.wav"
         try:
             align = self.aligner.align(origin, cover_audio, song_dir)
             if align is None:

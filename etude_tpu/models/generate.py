@@ -201,7 +201,9 @@ class GenerationEngine:
             keep = int(
                 self.config.max_position_embeddings * self.context_overlap_ratio
             ) - 1
-            keep = max(keep, 1)
+            # The kept prompt must leave room for the Bar_BOS opener within
+            # the cap (and thus within the largest bucket).
+            keep = max(min(keep, self.prompt_cap - 1), 1)
             tokens = tokens[-keep:]
             classes = classes[-keep:]
             for k in ATTR_KEYS:

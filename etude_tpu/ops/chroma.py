@@ -44,8 +44,7 @@ def _pitch_filterbank(sr: int, n_fft: int, tuning_cents: float = 0.0) -> np.ndar
 def _chroma_core(wave: jnp.ndarray, fb: jnp.ndarray, cos_m, sin_m,
                  sr: int, feature_rate: int):
     hop = sr // feature_rate
-    pad = _N_FFT // 2
-    w = jnp.pad(wave, pad, mode="reflect")
+    w = wave  # host reflect-padded by the wrapper
     n_frames = 1 + (w.shape[0] - _N_FFT) // hop
     idx = jnp.arange(_N_FFT)[None, :] + hop * jnp.arange(n_frames)[:, None]
     n = np.arange(_N_FFT)
@@ -90,17 +89,20 @@ def chroma_features(
     fb_pitch = _pitch_filterbank(sr, _N_FFT, tuning_cents)
     cos_m, sin_m = dft_matrices(_N_FFT)
 
-    # Bucket the frame count so different song lengths share programs.
+    # Host reflect pad, then bucket the frame count so different song
+    # lengths share programs and tail frames keep center semantics.
     hop = sr // feature_rate
     n = len(wave)
     true_frames = n // hop + 1
+    from .mel import reflect_pad_host
+    padded = reflect_pad_host(np.asarray(wave, np.float32), _N_FFT // 2)
     bucket = 2048
     target_frames = -(-true_frames // bucket) * bucket
-    target_len = (target_frames - 1) * hop
-    wave = np.pad(wave, (0, max(0, target_len - n)))[:target_len]
+    target_len = (target_frames - 1) * hop + _N_FFT
+    padded = np.pad(padded, (0, max(0, target_len - len(padded))))[:target_len]
 
     chroma, onset = _chroma_core(
-        jnp.asarray(wave, jnp.float32), jnp.asarray(fb_pitch), cos_m, sin_m,
+        jnp.asarray(padded), jnp.asarray(fb_pitch), cos_m, sin_m,
         sr, feature_rate
     )
     return np.asarray(chroma)[:true_frames], np.asarray(onset)[:true_frames]
@@ -114,7 +116,7 @@ def estimate_tuning(wave: np.ndarray, sr: int = ALIGN_SR) -> float:
         # Single coarse frame: average spectrum of the middle of the signal.
         mid = wave[len(wave) // 4: len(wave) // 4 + sr * 4]
         if len(mid) < _N_FFT:
-            mid = wave
+            mid = np.pad(wave, (0, max(0, _N_FFT - len(wave))))
         spec = np.abs(np.fft.rfft(mid[:_N_FFT] * np.hanning(_N_FFT))) ** 2
         energy = float((spec @ fb).max())
         if energy > best_energy:

@@ -109,6 +109,14 @@ def dft_matrices(n_fft: int):
     )
 
 
+def reflect_pad_host(wave: np.ndarray, pad: int) -> np.ndarray:
+    """np.pad(mode='reflect') with a zero-pad fallback for signals shorter
+    than the pad width (reflect requires pad <= len - 1)."""
+    if len(wave) > pad:
+        return np.pad(wave, pad, mode="reflect")
+    return np.pad(wave, pad, mode="constant")
+
+
 def frame_power_spectrum(
     frames: jnp.ndarray, cos_m: jnp.ndarray, sin_m: jnp.ndarray
 ) -> jnp.ndarray:
@@ -156,7 +164,7 @@ FRAME_BUCKET = 2048
 
 
 def log_mel_spectrogram(
-    wave: jnp.ndarray,
+    wave,
     *,
     sr: int = 16000,
     n_fft: int = 2048,
@@ -171,25 +179,32 @@ def log_mel_spectrogram(
 ) -> jnp.ndarray:
     """waveform [T] → log-mel [n_frames, n_mels] on device.
 
-    The waveform is zero-padded up to a frame-count bucket (one compiled
-    program per bucket); the output is trimmed to the true frame count.
+    Centered reflect padding is applied on host BEFORE the frame-count
+    bucketing zero-pad, so every true frame (including the song tail) sees
+    the reflected signal; the bucket zeros lie entirely beyond the trimmed
+    output. One compiled program per frame bucket.
     """
     cos_m, sin_m = dft_matrices(n_fft)
     fb = _mel_fb_device(sr, n_fft, n_mels, fmin, fmax)
 
-    n = wave.shape[0]
-    true_frames = (n // hop + 1) if center else (1 + max(n - n_fft, 0) // hop)
+    wave_np = np.asarray(wave, np.float32)
+    n = len(wave_np)
+    if center:
+        wave_np = reflect_pad_host(wave_np, n_fft // 2)
+        true_frames = n // hop + 1
+    else:
+        true_frames = 1 + max(n - n_fft, 0) // hop
     if bucket_frames:
         target_frames = -(-true_frames // bucket_frames) * bucket_frames
-        target_len = (target_frames - 1) * hop + (0 if center else n_fft)
-        if target_len > n:
-            wave = jnp.pad(wave, (0, target_len - n))
-        elif target_len < n:
-            wave = wave[:target_len]
+    else:
+        target_frames = true_frames
+    target_len = (target_frames - 1) * hop + n_fft
+    wave_np = np.pad(wave_np, (0, max(0, target_len - len(wave_np))))[:target_len]
+
     out = _log_mel_jit(
-        wave, cos_m, sin_m, fb,
+        jnp.asarray(wave_np), cos_m, sin_m, fb,
         n_fft=n_fft, hop=hop, win_length=win_length,
-        log_offset=log_offset, center=center,
+        log_offset=log_offset, center=False,
     )
     return out[:true_frames]
 

@@ -146,9 +146,9 @@ class InferencePipeline:
                 events = [
                     e for bar in bars for e in vocab.decode_sequence_to_events(bar)
                 ]
-                notes = TinyREMITokenizer(
-                    tempo_path=self.work_dir / "tempo.json"
-                ).decode_to_notes(events, self.work_dir / "volume.json")
+                notes = tokenizer.decode_to_notes(
+                    events, self.work_dir / "volume.json"
+                )
                 name = (
                     f"{final_filename}_p{combo['polyphony_bin']}"
                     f"r{combo['rhythm_intensity_bin']}s{combo['sustain_bin']}"

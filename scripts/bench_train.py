@@ -42,7 +42,10 @@ def main():
 
     n_dev = len(jax.devices())
     micro, accum, T = 8, 4, 1024
-    mesh = make_mesh(data_parallel=min(n_dev, micro))
+    dp = min(n_dev, micro)
+    while dp > 1 and micro % dp:  # dp must divide the micro batch
+        dp -= 1
+    mesh = make_mesh(data_parallel=dp)
     step = make_train_step(config, tx, mesh=mesh)
 
     rng = np.random.default_rng(0)

@@ -110,7 +110,6 @@ def main(argv=None) -> int:
         beta2=tc.adam_beta2,
         clip_grad_norm=tc.clip_grad_norm,
     )
-    state = init_train_state(params, tx)
 
     # The micro batch is sharded over the data axis; auto-sized data
     # parallelism must divide it.
@@ -126,9 +125,19 @@ def main(argv=None) -> int:
         model_axis=cfg.mesh.model_axis,
     )
     compute_dtype = jnp.bfloat16 if cfg.env.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.mesh.fsdp:
+        from etude_tpu.parallel.train_step import init_sharded_state
+
+        state = init_sharded_state(
+            params, tx, mesh, data_axis=cfg.mesh.data_axis, fsdp=True
+        )
+        logger.info("parameters + optimizer state FSDP-sharded over the data axis")
+    else:
+        state = init_train_state(params, tx)
     train_step = make_train_step(
         model_config, tx, mesh=mesh, data_axis=cfg.mesh.data_axis,
         compute_dtype=compute_dtype,
+        infer_state_sharding=cfg.mesh.fsdp,
     )
 
     ckpt_dir = Path(cfg.paths.train_output_dir) / run_id
@@ -163,6 +172,13 @@ def main(argv=None) -> int:
             if args.max_steps and int(state.step) >= args.max_steps:
                 done = True
                 break
+        if not losses:
+            logger.error(
+                f"epoch produced no batches: dataset has {len(dataset)} chunks "
+                f"but the global batch is {global_batch}; reduce batch_size or "
+                "gradient_accumulation_steps"
+            )
+            return 1
         dt = time.time() - t_epoch
         lr = float(schedule(int(state.step)))
         logger.info(
