@@ -234,8 +234,14 @@ def forward(
         k = _apply_rotary(k.astype(jnp.float32), cos, sin, config.rotary_dim)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(head_dim)
         probs = jax.nn.softmax(scores + bias, axis=-1).astype(compute_dtype)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, -1)
-        attn_out = ctx @ layer["attn_out"]["w"].astype(compute_dtype) + layer["attn_out"]["b"].astype(compute_dtype)
+        # Fused context-merge + output projection: avoids the [B,T,h,d] →
+        # [B,T,H] transpose that SPMD partitions poorly on batch-sharded runs.
+        w_o = layer["attn_out"]["w"].astype(compute_dtype).reshape(
+            n_heads, head_dim, -1
+        )
+        attn_out = jnp.einsum(
+            "bhqk,bkhd,hde->bqe", probs, v, w_o
+        ) + layer["attn_out"]["b"].astype(compute_dtype)
         # --- MLP branch (parallel residual, GPT-NeoX style) ---
         m_in = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"], eps)
         m = m_in @ layer["mlp_in"]["w"].astype(compute_dtype) + layer["mlp_in"]["b"].astype(compute_dtype)
@@ -285,13 +291,18 @@ def loss_fn(
 
 # --------------------------------------------------------------- KV cache
 def init_cache(
-    config: EtudeDecoderConfig, batch: int, dtype=jnp.bfloat16
+    config: EtudeDecoderConfig, batch: int, dtype=jnp.bfloat16,
+    length: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """Preallocated KV cache: [L, B, max_pos, n_heads, head_dim] per k/v."""
+    """Preallocated KV cache: [L, B, length, n_heads, head_dim] per k/v.
+
+    `length` defaults to max_position_embeddings; generation sizes it to the
+    prompt bucket + generation window so small-bucket bars pay proportionally
+    less attention work per decode step."""
     shape = (
         config.num_hidden_layers,
         batch,
-        config.max_position_embeddings,
+        length or config.max_position_embeddings,
         config.num_attention_heads,
         config.head_dim,
     )
@@ -320,7 +331,7 @@ def forward_with_cache(
     real token) for rotary. Returns (f32 logits [B, S, V], updated cache).
     """
     B, S = input_ids.shape
-    T_max = config.max_position_embeddings
+    T_max = cache["k"].shape[2]
     n_heads, head_dim = config.num_attention_heads, config.head_dim
     eps = config.layer_norm_eps
 
@@ -361,9 +372,12 @@ def forward_with_cache(
             "bqhd,bkhd->bhqk", q, k_cache.astype(jnp.float32)
         ) / np.sqrt(head_dim)
         probs = jax.nn.softmax(scores + bias, axis=-1).astype(compute_dtype)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_cache.astype(compute_dtype))
-        ctx = ctx.reshape(B, S, -1)
-        attn_out = ctx @ layer["attn_out"]["w"].astype(compute_dtype) + layer["attn_out"]["b"].astype(compute_dtype)
+        w_o = layer["attn_out"]["w"].astype(compute_dtype).reshape(
+            n_heads, head_dim, -1
+        )
+        attn_out = jnp.einsum(
+            "bhqk,bkhd,hde->bqe", probs, v_cache.astype(compute_dtype), w_o
+        ) + layer["attn_out"]["b"].astype(compute_dtype)
 
         m_in = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"], eps)
         m = m_in @ layer["mlp_in"]["w"].astype(compute_dtype) + layer["mlp_in"]["b"].astype(compute_dtype)

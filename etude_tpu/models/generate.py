@@ -78,7 +78,10 @@ def generate_bar(
     """
     B, P = prompt_ids.shape
 
-    cache = init_cache(config, B)
+    # Cache sized to this bucket's window: P prompt slots + the generation
+    # budget (bounded by max_position_embeddings).
+    cache_len = min(P + max_new_tokens, config.max_position_embeddings)
+    cache = init_cache(config, B, length=cache_len)
     positions = jnp.maximum(
         jnp.arange(P)[None, :] - visible_from[:, None], 0
     ).astype(jnp.int32)

@@ -112,3 +112,14 @@ def test_infer_cli_decode_only(decode_only_env, monkeypatch):
 def test_infer_cli_requires_source():
     with pytest.raises(SystemExit):
         infer_main(["--output_name", "x"])
+
+
+def test_infer_cli_sweep(decode_only_env):
+    tmp_path, cfg_yaml = decode_only_env
+    rc = infer_main([
+        "--config", str(cfg_yaml), "--decode-only", "--sweep",
+        "--output_name", "sw", "--temperature", "0.9", "--seed", "1",
+    ])
+    assert rc == 0
+    outs = sorted((tmp_path / "outputs" / "infer").glob("sw_p*r*s*.mid"))
+    assert len(outs) == 27
