@@ -114,7 +114,7 @@ class ExtractorInferConfig(BaseModel):
     min_duration: float = 0.08
     # How many 512-frame segments to batch per device step (TPU batching of
     # the reference's serial per-segment loop).
-    segment_batch: int = 8
+    segment_batch: int = 4
 
 
 class ExtractorConfig(BaseModel):

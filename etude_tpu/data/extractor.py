@@ -50,12 +50,21 @@ def amt_config_from(config: ExtractorConfig, n_frame: Optional[int] = None) -> A
 
 
 @functools.partial(jax.jit, static_argnames=("config", "branches"))
-def _transcribe_batch(params, config: AMTConfig, spec: jnp.ndarray,
-                      branches: tuple = ("freq", "time")):
-    """[B, n_bin, margin+T+margin] → activation maps + on-device velocity
-    argmax. Activations are downcast to f16 and velocities to uint8 before
-    leaving the device (host transfer is a bottleneck on tunneled chips);
-    `branches` limits output to the head set the caller actually uses."""
+def _transcribe_from_feature(
+    params, config: AMTConfig, feature_padded: jnp.ndarray, starts: jnp.ndarray,
+    branches: tuple = ("time",),
+):
+    """Gather [B] margin-padded segments from a device-resident feature map
+    and transcribe them — no host round trip between mel and model.
+
+    feature_padded: [T_padded, n_bin]; starts: [B] window start rows."""
+    win = 2 * config.n_margin + config.n_frame
+    idx = starts[:, None] + jnp.arange(win)[None, :]
+    spec = jnp.transpose(feature_padded[idx], (0, 2, 1))  # [B, n_bin, win]
+    return _transcribe_batch_impl(params, config, spec, branches)
+
+
+def _transcribe_batch_impl(params, config, spec, branches):
     out = forward(params, config, spec)
     result = {}
     for branch in branches:
@@ -65,6 +74,16 @@ def _transcribe_batch(params, config: AMTConfig, spec: jnp.ndarray,
             out[f"velocity_{branch}"], axis=-1
         ).astype(jnp.uint8)
     return result
+
+
+@functools.partial(jax.jit, static_argnames=("config", "branches"))
+def _transcribe_batch(params, config: AMTConfig, spec: jnp.ndarray,
+                      branches: tuple = ("freq", "time")):
+    """[B, n_bin, margin+T+margin] → activation maps + on-device velocity
+    argmax. Activations are downcast to f16 and velocities to uint8 before
+    leaving the device (host transfer is a bottleneck on tunneled chips);
+    `branches` limits output to the head set the caller actually uses."""
+    return _transcribe_batch_impl(params, config, spec, branches)
 
 
 class AMTAPC_Extractor:
@@ -98,7 +117,8 @@ class AMTAPC_Extractor:
             self.params = init_params(self.amt_config, seed=0)
 
     # ---- steps ---------------------------------------------------------
-    def _wav2feature(self, audio_path: Union[str, Path]) -> np.ndarray:
+    def _wav2feature(self, audio_path: Union[str, Path],
+                     return_device: bool = False):
         fc = self.config.feature
         wave, _ = decode_audio(audio_path, target_sr=fc.sr, mono=True)
         logmel = log_mel_spectrogram(
@@ -107,6 +127,8 @@ class AMTAPC_Extractor:
             win_length=fc.window_length, n_mels=fc.mel_bins,
             log_offset=fc.log_offset,
         )
+        if return_device:
+            return logmel
         return np.asarray(logmel)  # [n_frames, n_mels]
 
     def _segment(self, feature: np.ndarray) -> Tuple[np.ndarray, int]:
@@ -127,23 +149,34 @@ class AMTAPC_Extractor:
         ])
         return segs, T
 
-    def _transcript(self, feature: np.ndarray,
+    def _transcript(self, feature,
                     branches: tuple = ("time",)) -> Dict[str, np.ndarray]:
-        """Run every segment through the model (batched) and stitch maps."""
-        segs, T = self._segment(feature)
-        n_seg = segs.shape[0]
+        """Run every segment through the model (batched) and stitch maps.
+
+        Accepts a host array or a device-resident feature map; segments are
+        gathered ON DEVICE from a margin-padded copy, so the mel output never
+        round-trips through the host."""
+        ic = self.config.input
+        n_frame = self.amt_config.n_frame
+        T = int(feature.shape[0])
+        n_seg = max(-(-T // n_frame), 1)
         B = self.segment_batch
-        # Pad the segment count to a multiple of the batch (static shapes).
-        n_pad = (-n_seg) % B
-        if n_pad:
-            pad = np.full((n_pad, *segs.shape[1:]),
-                          self.config.input.min_value, np.float32)
-            segs = np.concatenate([segs, pad], axis=0)
+        n_groups = -(-n_seg // B)
+
+        # Margin-padded device copy covering all (batch-padded) segments.
+        total = ic.margin_b + n_groups * B * n_frame + ic.margin_f
+        feat_dev = jnp.asarray(feature, jnp.float32)
+        pad_back = total - ic.margin_b - T
+        feat_padded = jnp.pad(
+            feat_dev, ((ic.margin_b, pad_back), (0, 0)),
+            constant_values=ic.min_value,
+        )
 
         chunks = []
-        for i in range(0, segs.shape[0], B):
-            out = _transcribe_batch(
-                self.params, self.amt_config, jnp.asarray(segs[i:i + B]),
+        for g in range(n_groups):
+            starts = jnp.arange(B, dtype=jnp.int32) * n_frame + g * B * n_frame
+            out = _transcribe_from_feature(
+                self.params, self.amt_config, feat_padded, starts,
                 branches=branches,
             )
             chunks.append(jax.tree.map(np.asarray, out))
@@ -182,7 +215,7 @@ class AMTAPC_Extractor:
         output_midi_path: Optional[Union[str, Path]] = None,
     ):
         """Transcribe audio; write note JSON (and optional MIDI)."""
-        feature = self._wav2feature(audio_path)
+        feature = self._wav2feature(audio_path, return_device=True)
         maps = self._transcript(feature)
         # Inference uses the refined time-branch (B) heads, like the
         # reference (etude/data/extractor.py:161).

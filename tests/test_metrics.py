@@ -142,3 +142,28 @@ paths:
                     "--versions", "human", "etude_d"])
     assert rc == 0
     assert (tmp_path / "out" / "evaluation_results.csv").exists()
+
+
+def test_onset_f1():
+    from etude_tpu.evaluation.metrics.onset_f1 import onset_f1
+
+    ref = [{"onset": 0.5 * i, "pitch": 60 + i % 3, "offset": 0.5 * i + 0.2,
+            "velocity": 80} for i in range(10)]
+    # Perfect match.
+    r = onset_f1(ref, ref)
+    assert r["f1"] == 1.0 and r["n_match"] == 10
+    # Shifted within tolerance.
+    est = [dict(n, onset=n["onset"] + 0.03) for n in ref]
+    assert onset_f1(ref, est)["f1"] == 1.0
+    # Shifted beyond tolerance.
+    est = [dict(n, onset=n["onset"] + 0.2) for n in ref]
+    assert onset_f1(ref, est)["f1"] == 0.0
+    # Wrong pitch fails when match_pitch, passes otherwise.
+    est = [dict(n, pitch=n["pitch"] + 1) for n in ref]
+    assert onset_f1(ref, est)["f1"] == 0.0
+    assert onset_f1(ref, est, match_pitch=False)["f1"] == 1.0
+    # Half missing → recall 0.5.
+    r = onset_f1(ref, ref[:5])
+    assert r["recall"] == 0.5 and r["precision"] == 1.0
+    # Empty inputs.
+    assert onset_f1([], ref)["f1"] == 0.0
