@@ -230,9 +230,15 @@ def forward(
         qkv = a_in @ layer["qkv"]["w"].astype(compute_dtype) + layer["qkv"]["b"].astype(compute_dtype)
         qkv = qkv.reshape(B, T, n_heads, 3 * head_dim)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        # Rotary in f32 for phase accuracy; QK matmul back in compute dtype
+        # with f32 accumulation (f32 matmuls are several times slower on MXU).
         q = _apply_rotary(q.astype(jnp.float32), cos, sin, config.rotary_dim)
         k = _apply_rotary(k.astype(jnp.float32), cos, sin, config.rotary_dim)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(head_dim)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk",
+            q.astype(compute_dtype), k.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ) / np.sqrt(head_dim)
         probs = jax.nn.softmax(scores + bias, axis=-1).astype(compute_dtype)
         # Fused context-merge + output projection: avoids the [B,T,h,d] →
         # [B,T,H] transpose that SPMD partitions poorly on batch-sharded runs.
@@ -369,7 +375,9 @@ def forward_with_cache(
         )
 
         scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k_cache.astype(jnp.float32)
+            "bqhd,bkhd->bhqk",
+            q.astype(compute_dtype), k_cache.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
         ) / np.sqrt(head_dim)
         probs = jax.nn.softmax(scores + bias, axis=-1).astype(compute_dtype)
         w_o = layer["attn_out"]["w"].astype(compute_dtype).reshape(
