@@ -251,7 +251,7 @@ def forward(
         # --- MLP branch (parallel residual, GPT-NeoX style) ---
         m_in = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"], eps)
         m = m_in @ layer["mlp_in"]["w"].astype(compute_dtype) + layer["mlp_in"]["b"].astype(compute_dtype)
-        m = jax.nn.gelu(m, approximate=True)
+        m = jax.nn.gelu(m, approximate=False)
         mlp_out = m @ layer["mlp_out"]["w"].astype(compute_dtype) + layer["mlp_out"]["b"].astype(compute_dtype)
         return x + attn_out + mlp_out, None
 
@@ -389,7 +389,7 @@ def forward_with_cache(
 
         m_in = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"], eps)
         m = m_in @ layer["mlp_in"]["w"].astype(compute_dtype) + layer["mlp_in"]["b"].astype(compute_dtype)
-        m = jax.nn.gelu(m, approximate=True)
+        m = jax.nn.gelu(m, approximate=False)
         mlp_out = m @ layer["mlp_out"]["w"].astype(compute_dtype) + layer["mlp_out"]["b"].astype(compute_dtype)
         return x + attn_out + mlp_out, (k_cache, v_cache)
 
