@@ -275,3 +275,45 @@ def forward(
 
 def param_count(params: Params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+# ------------------------------------------------------------------ training
+def loss_fn(
+    params: Params,
+    config: AMTConfig,
+    batch: Dict[str, jnp.ndarray],
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """hFT training objective: binary cross-entropy on the onset/offset/MPE
+    heads plus cross-entropy on the 128-way velocity classifier, summed over
+    BOTH branches (the time branch refines the freq branch, so both are
+    supervised — hFT-Transformer recipe).
+
+    batch: spec [B, n_bin, margin+T+margin]; targets onset/offset/mpe
+    [B, T, n_note] in [0,1]; velocity [B, T, n_note] int labels.
+    """
+    out = forward(params, config, batch["spec"], compute_dtype)
+
+    def bce(pred, target):
+        pred = jnp.clip(pred, 1e-7, 1 - 1e-7)
+        return -jnp.mean(
+            target * jnp.log(pred) + (1 - target) * jnp.log(1 - pred)
+        )
+
+    loss = 0.0
+    metrics: Dict[str, jnp.ndarray] = {}
+    for branch in ("freq", "time"):
+        for head in ("onset", "offset", "mpe"):
+            l = bce(out[f"{head}_{branch}"], batch[head])
+            metrics[f"{head}_{branch}_bce"] = l
+            loss = loss + l
+        logits = out[f"velocity_{branch}"]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        vel_ll = jnp.take_along_axis(
+            logp, batch["velocity"][..., None], axis=-1
+        )[..., 0]
+        l = -jnp.mean(vel_ll)
+        metrics[f"velocity_{branch}_ce"] = l
+        loss = loss + l
+    metrics["loss"] = loss
+    return loss, metrics

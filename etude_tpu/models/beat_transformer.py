@@ -191,3 +191,38 @@ def forward(
 
 def param_count(params: Params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+# ------------------------------------------------------------------ training
+def loss_fn(
+    params: Params,
+    config: BeatTransformerConfig,
+    batch: Dict[str, jnp.ndarray],
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Beat-Transformer objective: BCE on the (beat, downbeat) activation
+    logits plus cross-entropy on the auxiliary tempo head.
+
+    batch: x [B, instr, T, mel]; activations [B, T, 2] in [0,1];
+    tempo [B] int class labels (< n_tempi); optional mask [B, T].
+    """
+    act_logits, tempo_logits = forward(params, config, batch["x"], compute_dtype)
+
+    mask = batch.get("mask")
+    target = batch["activations"]
+    logp = jax.nn.log_sigmoid(act_logits)
+    log1mp = jax.nn.log_sigmoid(-act_logits)
+    bce = -(target * logp + (1 - target) * log1mp)  # [B, T, 2]
+    if mask is not None:
+        bce = bce * mask[..., None]
+        denom = jnp.maximum(mask.sum() * 2, 1)
+        act_loss = bce.sum() / denom
+    else:
+        act_loss = bce.mean()
+
+    tempo_logp = jax.nn.log_softmax(tempo_logits, axis=-1)
+    tempo_loss = -jnp.mean(
+        jnp.take_along_axis(tempo_logp, batch["tempo"][:, None], axis=-1)
+    )
+    loss = act_loss + tempo_loss
+    return loss, {"loss": loss, "act_bce": act_loss, "tempo_ce": tempo_loss}

@@ -120,3 +120,20 @@ def forward(
 
 def param_count(params: Params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+# ------------------------------------------------------------------ training
+def loss_fn(
+    params: Params,
+    config: SeparatorConfig,
+    batch: Dict[str, jnp.ndarray],
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Masking objective: L1 between mask-applied mixture magnitude and each
+    stem's target magnitude (the Spleeter training recipe).
+
+    batch: mix_mag [B, T, F]; stem_mags [B, num_stems, T, F].
+    """
+    masks = forward(params, config, jnp.log1p(batch["mix_mag"]), compute_dtype)
+    est = masks * batch["mix_mag"][:, None]
+    return jnp.mean(jnp.abs(est - batch["stem_mags"]))
