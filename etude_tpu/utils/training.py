@@ -52,9 +52,20 @@ def save_checkpoint(
         "skipped": state.skipped,
     }
     latest = checkpoint_dir / "latest"
+    # Crash-safe: write to a scratch dir, then swap via rename (a kill mid-
+    # write must never destroy the previous checkpoint).
+    tmp = checkpoint_dir / ".latest.tmp"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    _checkpointer().save(tmp, payload)
+    old = checkpoint_dir / ".latest.old"
+    if old.exists():
+        shutil.rmtree(old)
     if latest.exists():
-        shutil.rmtree(latest)
-    _checkpointer().save(latest, payload)
+        latest.rename(old)
+    tmp.rename(latest)
+    if old.exists():
+        shutil.rmtree(old)
 
     meta = {
         "epoch": epoch,
