@@ -49,18 +49,19 @@ def amt_config_from(config: ExtractorConfig, n_frame: Optional[int] = None) -> A
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config", "branches"))
-def _transcribe_from_feature(
-    params, config: AMTConfig, feature_padded: jnp.ndarray, starts: jnp.ndarray,
-    branches: tuple = ("time",),
+@functools.partial(jax.jit, static_argnames=("config", "branches", "batch"))
+def _transcribe_group(
+    params, config: AMTConfig, feat_window: jnp.ndarray,
+    branches: tuple = ("time",), batch: int = 4,
 ):
-    """Gather [B] margin-padded segments from a device-resident feature map
-    and transcribe them — no host round trip between mel and model.
-
-    feature_padded: [T_padded, n_bin]; starts: [B] window start rows."""
+    """Transcribe one group of `batch` consecutive segments from a FIXED-size
+    device window [margin_b + batch*n_frame + margin_f, n_bin] — the input
+    shape is independent of song length, so this compiles exactly once.
+    """
     win = 2 * config.n_margin + config.n_frame
+    starts = jnp.arange(batch, dtype=jnp.int32) * config.n_frame
     idx = starts[:, None] + jnp.arange(win)[None, :]
-    spec = jnp.transpose(feature_padded[idx], (0, 2, 1))  # [B, n_bin, win]
+    spec = jnp.transpose(feat_window[idx], (0, 2, 1))  # [B, n_bin, win]
     return _transcribe_batch_impl(params, config, spec, branches)
 
 
@@ -155,7 +156,9 @@ class AMTAPC_Extractor:
 
         Accepts a host array or a device-resident feature map; segments are
         gathered ON DEVICE from a margin-padded copy, so the mel output never
-        round-trips through the host."""
+        round-trips through the host. Each group is dynamic-sliced to a
+        FIXED-size window before the jitted model call, so one program serves
+        every song length."""
         ic = self.config.input
         n_frame = self.amt_config.n_frame
         T = int(feature.shape[0])
@@ -172,12 +175,16 @@ class AMTAPC_Extractor:
             constant_values=ic.min_value,
         )
 
+        win_total = ic.margin_b + B * n_frame + ic.margin_f
         chunks = []
         for g in range(n_groups):
-            starts = jnp.arange(B, dtype=jnp.int32) * n_frame + g * B * n_frame
-            out = _transcribe_from_feature(
-                self.params, self.amt_config, feat_padded, starts,
-                branches=branches,
+            feat_window = jax.lax.dynamic_slice(
+                feat_padded, (g * B * n_frame, 0),
+                (win_total, feat_padded.shape[1]),
+            )
+            out = _transcribe_group(
+                self.params, self.amt_config, feat_window,
+                branches=branches, batch=B,
             )
             chunks.append(jax.tree.map(np.asarray, out))
 

@@ -1,9 +1,11 @@
 """Onset F1: transcription fidelity between two note lists.
 
 The driver's fidelity metric ("onset F1 vs reference", BASELINE.json):
-greedy one-to-one matching of note onsets within a time tolerance,
-optionally pitch-exact (the standard mir_eval-style convention:
-50 ms tolerance, pitch match required).
+one-to-one matching of note onsets within a time tolerance, optionally
+pitch-exact (50 ms tolerance, pitch match required). Matching is greedy in
+estimate order (nearest unused reference onset), which lower-bounds the
+optimal bipartite matching mir_eval computes — identical in practice except
+on dense near-tolerance clusters.
 """
 
 from __future__ import annotations

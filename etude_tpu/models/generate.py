@@ -146,6 +146,7 @@ class GenerationEngine:
         prompt_buckets: Sequence[int] = (128, 256, 384, 512),
         max_bar_token_limit: int = 512,
         context_overlap_ratio: float = 0.5,
+        prompt_cap: Optional[int] = None,
     ):
         self.config = config
         self.bar_bos_id = bar_bos_id
@@ -155,10 +156,13 @@ class GenerationEngine:
             max_bar_token_limit, config.max_position_embeddings
         )
         self.context_overlap_ratio = context_overlap_ratio
-        # Prompt cap: leave a full generation window inside max_pos.
-        self.prompt_cap = max(
+        # Prompt cap: leave a full generation window inside max_pos. A caller
+        # may tighten it further (e.g. to pin generation to one bucket — one
+        # compiled program).
+        derived_cap = max(
             config.max_position_embeddings - self.max_bar_token_limit, 1
         )
+        self.prompt_cap = min(prompt_cap, derived_cap) if prompt_cap else derived_cap
         # Buckets below the cap, plus the cap itself so every legal prompt
         # fits some bucket.
         self.prompt_buckets = sorted(

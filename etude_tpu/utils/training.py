@@ -96,6 +96,12 @@ def load_checkpoint(
     structure/shardings (e.g. a freshly initialized TrainState)."""
     checkpoint_dir = Path(checkpoint_dir).resolve()
     path = checkpoint_dir / name
+    if not path.exists() and name == "latest":
+        # Recover from a kill inside the save_checkpoint rename window.
+        old = checkpoint_dir / ".latest.old"
+        if old.exists():
+            logger.warn("recovering checkpoint from interrupted save (.latest.old)")
+            old.rename(path)
     if not path.exists():
         raise FileNotFoundError(f"no checkpoint at {path}")
 

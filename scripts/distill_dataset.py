@@ -128,13 +128,15 @@ def main(argv=None) -> int:
     if not names:
         return 1
 
+    # Always rebuild the vocabulary from the full event set — reusing a
+    # vocab built from a smaller corpus would silently map unseen tokens to
+    # <UNK> in the saved sequences.
     vocab_path = out / "vocab.json"
+    vocab = Vocab()
+    vocab.build_from_events(all_src + all_tgt)
     if vocab_path.exists():
-        vocab = Vocab.load(vocab_path)
-    else:
-        vocab = Vocab()
-        vocab.build_from_events(all_src + all_tgt)
-        vocab.save(vocab_path)
+        logger.warn(f"overwriting existing vocabulary at {vocab_path}")
+    vocab.save(vocab_path)
     logger.info(f"vocab: {len(vocab)} tokens")
 
     for i in range(len(names)):

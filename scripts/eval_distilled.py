@@ -104,14 +104,17 @@ def main(argv=None) -> int:
 
     if not rows:
         return 1
+
+    def mean_of(key):
+        vals = [r[key] for r in rows if r.get(key) is not None]
+        return float(np.mean(vals)) if vals else None
+
     agg = {
         "songs": len(rows),
-        "mean_rgc": float(np.mean([r["rgc"] for r in rows if r["rgc"] is not None])),
-        "mean_ipe": float(np.mean([r["ipe"] for r in rows if r["ipe"] is not None])),
-        "mean_onset_f1_vs_target": float(np.mean(
-            [r["onset_f1_vs_target"] for r in rows]
-        )),
-        "mean_notes": float(np.mean([r["n_notes"] for r in rows])),
+        "mean_rgc": mean_of("rgc"),
+        "mean_ipe": mean_of("ipe"),
+        "mean_onset_f1_vs_target": mean_of("onset_f1_vs_target"),
+        "mean_notes": mean_of("n_notes"),
     }
     print(json.dumps(agg))
     return 0

@@ -175,3 +175,18 @@ def test_fsdp_sharded_training_matches_replicated(tiny_config, rng):
         np.asarray(state_rep.params["lm_head"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_checkpoint_recovery_from_interrupted_save(tiny_config, tmp_path):
+    """A kill between the two save renames leaves .latest.old; load must
+    recover it."""
+    params = init_params(tiny_config, seed=0)
+    tx, _ = make_optimizer(total_steps=10)
+    state = init_train_state(params, tx)
+    save_checkpoint(tmp_path, state, epoch=1, global_step=1,
+                    model_config=tiny_config)
+    # Simulate the crash window: latest was renamed away, new one never landed.
+    (tmp_path / "latest").rename(tmp_path / ".latest.old")
+    restored, meta = load_checkpoint(tmp_path, init_train_state(params, tx))
+    assert int(restored.step) == 0
+    assert (tmp_path / "latest").exists()
