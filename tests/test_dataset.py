@@ -157,3 +157,24 @@ def test_split_ids_closes_open_bar(vocab):
     bars = split_ids_into_bars([BOS, n, n, BOS, n, EOS], BOS, EOS)
     assert len(bars) == 2
     assert bars[0] == [BOS, n, n, EOS]
+
+
+def test_dataset_json_format(tmp_path, vocab):
+    import json as _json
+
+    d = tmp_path / "0001"
+    d.mkdir()
+    src = _bar(vocab, [(0, 60, 4)]) * 6
+    tgt = _bar(vocab, [(0, 64, 8)]) * 6
+    (d / "0001_src.json").write_text(_json.dumps(src))
+    (d / "0001_tgt.json").write_text(_json.dumps(tgt))
+    ds = EtudeDataset(tmp_path, vocab, max_seq_len=64,
+                      src_suffix="_src.json", tgt_suffix="_tgt.json",
+                      data_format="json")
+    assert len(ds.songs) == 1 and len(ds) > 0
+
+
+def test_dataset_empty_dir(tmp_path, vocab):
+    ds = EtudeDataset(tmp_path / "nothing", vocab, max_seq_len=64)
+    assert len(ds) == 0
+    assert list(ds.batches(batch_size=4)) == []

@@ -113,3 +113,24 @@ def test_attribute_sweep_batch(setup):
     )
     assert len(streams) == 27
     assert all(len(s) == 1 for s in streams)
+
+
+def test_generate_empty_song(setup):
+    config, params, engine, BOS, EOS = setup
+    assert engine.generate(params, [], [], temperature=0.0) == []
+
+
+def test_prompt_cap_override(setup):
+    from etude_tpu.models.generate import GenerationEngine
+
+    config, params, _, BOS, EOS = setup
+    engine = GenerationEngine(
+        config, BOS, EOS, prompt_buckets=(32,), max_bar_token_limit=16,
+        prompt_cap=32,
+    )
+    assert engine.prompt_buckets == [32]
+    # A long condition bar truncates into the cap and still generates.
+    x = [BOS] + [10] * 100 + [EOS]
+    bars = engine.generate(params, [x], [{k: 1 for k in ATTR_KEYS}],
+                           temperature=0.0)
+    assert len(bars) == 1 and bars[0][0] == BOS
