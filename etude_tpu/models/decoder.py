@@ -205,8 +205,16 @@ def forward(
     attr_ids: Dict[str, jnp.ndarray],
     attention_mask: Optional[jnp.ndarray] = None,  # [B, T] 1=valid
     compute_dtype=jnp.bfloat16,
+    remat: bool = False,
 ) -> jnp.ndarray:
-    """Full-sequence forward (training / prefill-free path) → f32 logits."""
+    """Full-sequence forward (training / prefill-free path) → f32 logits.
+
+    remat=True checkpoints each transformer layer: activations inside the
+    layer are recomputed in the backward pass instead of saved — trades a
+    second forward's FLOPs for O(L·B·T·H) less HBM, and keeps the SPMD
+    partitioner off the per-layer residual stack (whose saved intermediates
+    otherwise trigger involuntary rematerialization on sharded meshes).
+    """
     B, T = input_ids.shape
     h = embed_inputs(params, config, input_ids, class_ids, attr_ids, compute_dtype)
 
@@ -240,13 +248,16 @@ def forward(
             preferred_element_type=jnp.float32,
         ) / np.sqrt(head_dim)
         probs = jax.nn.softmax(scores + bias, axis=-1).astype(compute_dtype)
-        # Fused context-merge + output projection: avoids the [B,T,h,d] →
-        # [B,T,H] transpose that SPMD partitions poorly on batch-sharded runs.
+        # Two-step context-merge + output projection with an explicit [B,Q,h,d]
+        # intermediate: the single fused 3-operand einsum forced the SPMD
+        # partitioner into involuntary full rematerialization on batch-sharded
+        # meshes (transpose of the [B,h,Q,d] dot output).
         w_o = layer["attn_out"]["w"].astype(compute_dtype).reshape(
             n_heads, head_dim, -1
         )
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         attn_out = jnp.einsum(
-            "bhqk,bkhd,hde->bqe", probs, v, w_o
+            "bqhd,hde->bqe", ctx, w_o
         ) + layer["attn_out"]["b"].astype(compute_dtype)
         # --- MLP branch (parallel residual, GPT-NeoX style) ---
         m_in = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"], eps)
@@ -255,7 +266,8 @@ def forward(
         mlp_out = m @ layer["mlp_out"]["w"].astype(compute_dtype) + layer["mlp_out"]["b"].astype(compute_dtype)
         return x + attn_out + mlp_out, None
 
-    h, _ = jax.lax.scan(layer_body, h, params["layers"])
+    body = jax.checkpoint(layer_body) if remat else layer_body
+    h, _ = jax.lax.scan(body, h, params["layers"])
 
     h = _layer_norm(h, params["final_ln"]["scale"], params["final_ln"]["bias"], eps)
     logits = h.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
@@ -267,6 +279,7 @@ def loss_fn(
     config: EtudeDecoderConfig,
     batch: Dict[str, jnp.ndarray],
     compute_dtype=jnp.bfloat16,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Mean cross-entropy over labels != -100 (reference loss semantics).
 
@@ -279,6 +292,7 @@ def loss_fn(
         batch["input_ids"], batch["class_ids"], attr_ids,
         attention_mask=batch.get("attention_mask"),
         compute_dtype=compute_dtype,
+        remat=remat,
     )
     labels = batch["labels"]
     valid = labels != -100
@@ -383,8 +397,9 @@ def forward_with_cache(
         w_o = layer["attn_out"]["w"].astype(compute_dtype).reshape(
             n_heads, head_dim, -1
         )
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_cache.astype(compute_dtype))
         attn_out = jnp.einsum(
-            "bhqk,bkhd,hde->bqe", probs, v_cache.astype(compute_dtype), w_o
+            "bqhd,hde->bqe", ctx, w_o
         ) + layer["attn_out"]["b"].astype(compute_dtype)
 
         m_in = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"], eps)

@@ -110,6 +110,7 @@ def make_train_step(
     data_axis: str = "data",
     compute_dtype=jnp.bfloat16,
     infer_state_sharding: bool = False,
+    remat: Optional[bool] = None,
 ):
     """Build the jitted train step.
 
@@ -122,11 +123,28 @@ def make_train_step(
     the all-gathers/reduce-scatters implied by the layout.
     """
 
+    # Constraining each micro-batch (sliced from the [accum, B, T] input by
+    # the scan) back to the data axis keeps the partitioner on batch-sharded
+    # layouts through the backward pass — without it, SPMD falls into
+    # involuntary full rematerialization on the scan's dynamic-slices.
+    micro_spec = (
+        NamedSharding(mesh, P(data_axis)) if mesh is not None else None
+    )
+    if remat is None:
+        # Layer remat is what keeps the SPMD partitioner off the saved
+        # per-layer residual stack; single-device jit has no partitioner, so
+        # skip the recompute cost there.
+        remat = mesh is not None
+
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         def micro_grads(carry, micro_batch):
             grads_acc, loss_acc, acc_acc = carry
+            if micro_spec is not None:
+                micro_batch = jax.lax.with_sharding_constraint(
+                    micro_batch, micro_spec
+                )
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, config, micro_batch, compute_dtype
+                state.params, config, micro_batch, compute_dtype, remat
             )
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             return (grads_acc, loss_acc + loss, acc_acc + metrics["accuracy"]), None
