@@ -166,10 +166,16 @@ def main(argv=None) -> int:
             ),
             mesh, accum, data_axis=cfg.mesh.data_axis,
         )
+        # Keep loss scalars on device inside the loop: a per-step float()
+        # would block async dispatch and serialize the pipeline on the
+        # host↔device round trip. Steps are counted on the host (state.step
+        # increments by exactly 1 per train_step, including skipped updates).
+        host_step = int(state.step)
         for batch in batches:
             state, metrics = train_step(state, batch)
-            losses.append(float(metrics["loss"]))
-            if args.max_steps and int(state.step) >= args.max_steps:
+            losses.append(metrics["loss"])
+            host_step += 1
+            if args.max_steps and host_step >= args.max_steps:
                 done = True
                 break
         if not losses:
@@ -179,6 +185,7 @@ def main(argv=None) -> int:
                 "gradient_accumulation_steps"
             )
             return 1
+        losses = [float(x) for x in losses]  # one sync point per epoch
         dt = time.time() - t_epoch
         lr = float(schedule(int(state.step)))
         logger.info(
