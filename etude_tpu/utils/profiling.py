@@ -28,7 +28,10 @@ class StageTimer:
         self.spans: List[Dict] = []
 
     @contextlib.contextmanager
-    def span(self, name: str):
+    def span(self, name: str, nested: bool = False):
+        """nested=True marks a span contained in another span's wall time
+        (e.g. stages running concurrently under a combined span): it is
+        reported but excluded from the summary total."""
         start = time.perf_counter()
         try:
             yield
@@ -36,6 +39,7 @@ class StageTimer:
             self.spans.append({
                 "name": name,
                 "seconds": time.perf_counter() - start,
+                "nested": nested,
             })
 
     def summary(self) -> Dict[str, float]:
@@ -44,11 +48,12 @@ class StageTimer:
     def print_summary(self, title: str = "Timing") -> None:
         if not self.spans:
             return
-        total = sum(s["seconds"] for s in self.spans)
+        total = sum(s["seconds"] for s in self.spans if not s.get("nested"))
         logger.stage(f"{title} ({total:.2f}s total)")
         for s in self.spans:
             share = 100.0 * s["seconds"] / total if total else 0.0
-            logger.info(f"{s['name']:<32s} {s['seconds']:>8.2f}s  {share:5.1f}%")
+            name = ("  ∟ " if s.get("nested") else "") + s["name"]
+            logger.info(f"{name:<32s} {s['seconds']:>8.2f}s  {share:5.1f}%")
 
 
 @contextlib.contextmanager

@@ -35,8 +35,9 @@ from etude_tpu.utils.profiling import StageTimer, trace
 class InferencePipeline:
     """Audio (file or URL) → piano-cover MIDI."""
 
-    def __init__(self, config: EtudeConfig):
+    def __init__(self, config: EtudeConfig, allow_random_weights: bool = False):
         self.config = config
+        self.allow_random_weights = allow_random_weights
         self.output_dir = Path(config.paths.infer_output_dir)
         self.work_dir = self.output_dir / "temp"
         self.output_dir.mkdir(parents=True, exist_ok=True)
@@ -44,6 +45,39 @@ class InferencePipeline:
         self.timer = StageTimer()
         logger.info(f"Output directory: {self.output_dir.resolve()}")
         logger.info(f"Working directory: {self.work_dir.resolve()}")
+
+    def _require_weights(self, *stages: str) -> None:
+        """Missing model checkpoints are a hard error: random weights produce
+        musically meaningless output, so proceeding silently would corrupt
+        results. --allow-random-weights is the explicit escape hatch
+        (tests / smoke runs)."""
+        paths = {
+            "extract": [("extractor", self.config.paths.extractor_model)],
+            "structuralize": [
+                ("separator", self.config.paths.separator_model),
+                ("beat detector", self.config.paths.beat_detector_model),
+            ],
+            "decode": [("decoder", self.config.paths.decoder_model)],
+        }
+        missing = [
+            (name, p) for stage in stages for name, p in paths[stage]
+            if not Path(p).exists()
+        ]
+        if missing and not self.allow_random_weights:
+            for name, p in missing:
+                logger.error(f"{name} checkpoint not found: {p}")
+            logger.error(
+                "refusing to run with randomly initialized models; train or "
+                "download checkpoints (scripts/train_aux_synthetic.py, "
+                "train.py) or pass --allow-random-weights to override"
+            )
+            sys.exit(1)
+        for name, p in missing:
+            logger.warn(f"{name}: running with RANDOM weights ({p} missing)")
+
+    def _timed(self, name: str, fn, *args):
+        with self.timer.span(name, nested=True):
+            return fn(*args)
 
     # ---- stages --------------------------------------------------------
     def _prepare_audio(self, source: str) -> Path:
@@ -190,13 +224,30 @@ class InferencePipeline:
     ) -> None:
         with trace():
             if not decode_only:
+                self._require_weights("extract", "structuralize", "decode")
                 audio_path = self._prepare_audio(audio_source)
-                with self.timer.span("stage1_extract"):
-                    self._run_stage1_extract(audio_path)
-                with self.timer.span("stage2_structuralize"):
-                    self._run_stage2_structuralize(audio_path)
+                # Extract and Structuralize are independent consumers of
+                # origin.wav: run them concurrently. Device programs
+                # serialize on the chip, but each stage's host-side half
+                # (peak picking / DBN decode + tempo analysis) overlaps the
+                # other's device half.
+                import concurrent.futures
+
+                with self.timer.span("stage1+2_concurrent"):
+                    with concurrent.futures.ThreadPoolExecutor(2) as pool:
+                        f1 = pool.submit(
+                            self._timed, "stage1_extract",
+                            self._run_stage1_extract, audio_path,
+                        )
+                        f2 = pool.submit(
+                            self._timed, "stage2_structuralize",
+                            self._run_stage2_structuralize, audio_path,
+                        )
+                        f1.result()
+                        f2.result()
             else:
                 logger.skip("stages 1 & 2 (decode-only mode)")
+                self._require_weights("decode")
                 for name in ("extract.json", "tempo.json", "volume.json"):
                     if not (self.work_dir / name).exists():
                         logger.error(
@@ -234,6 +285,10 @@ def main(argv=None) -> int:
     gen.add_argument("--seed", type=int, default=0)
     gen.add_argument("--sweep", action="store_true",
                      help="decode all 27 attribute combinations (batched)")
+    gen.add_argument("--allow-random-weights", action="store_true",
+                     help="proceed with random init when checkpoints are "
+                          "missing (smoke/testing only — output is "
+                          "musically meaningless)")
 
     args = parser.parse_args(argv)
 
@@ -251,7 +306,9 @@ def main(argv=None) -> int:
         "pitch_overlap_bin": args.overlap,
     }
 
-    InferencePipeline(config).run(
+    InferencePipeline(
+        config, allow_random_weights=args.allow_random_weights
+    ).run(
         audio_source=args.input,
         target_attributes=target_attributes,
         final_filename=args.output_name,

@@ -256,9 +256,37 @@ def main(argv=None) -> int:
     parser.add_argument("--config", type=str, default="configs/default.yaml")
     parser.add_argument("--start-from", type=str, choices=STAGES, default="download")
     parser.add_argument("--run-only", type=str, choices=STAGES, default=None)
+    parser.add_argument("--allow-random-weights", action="store_true",
+                        help="proceed with random init when model checkpoints "
+                             "are missing (smoke/testing only)")
     args = parser.parse_args(argv)
 
     config = load_config(args.config)
+
+    # Missing model checkpoints are a hard error: a dataset prepared with
+    # randomly initialized transcription/beat models is silently worthless.
+    stage_models = {
+        "preprocess": [("hft transcriber", config.paths.hft_model),
+                       ("separator", config.paths.separator_model),
+                       ("beat detector", config.paths.beat_detector_model)],
+        "extract": [("extractor", config.paths.extractor_model)],
+    }
+    start_idx = STAGES.index(args.start_from)
+    will_run = [s for i, s in enumerate(STAGES)
+                if i >= start_idx and (not args.run_only or args.run_only == s)]
+    missing = [(n, p) for s in will_run for n, p in stage_models.get(s, [])
+               if not Path(p).exists()]
+    if missing and not args.allow_random_weights:
+        for n, p in missing:
+            logger.error(f"{n} checkpoint not found: {p}")
+        logger.error(
+            "refusing to prepare data with randomly initialized models; "
+            "train checkpoints first (scripts/train_aux_synthetic.py) or "
+            "pass --allow-random-weights to override"
+        )
+        return 1
+    for n, p in missing:
+        logger.warn(f"{n}: running with RANDOM weights ({p} missing)")
     runners = {
         "download": run_stage_1_download,
         "preprocess": run_stage_2_preprocess,

@@ -75,7 +75,7 @@ decoder:
 def test_decode_only_pipeline(decode_only_env):
     tmp_path, cfg_yaml = decode_only_env
     config = load_config(cfg_yaml)
-    pipeline = InferencePipeline(config)
+    pipeline = InferencePipeline(config, allow_random_weights=True)
     attrs = {"polyphony_bin": 1, "rhythm_intensity_bin": 1,
              "sustain_bin": 1, "pitch_overlap_bin": 2}
     pipeline.run("unused", attrs, final_filename="song", decode_only=True)
@@ -101,7 +101,7 @@ def test_decode_only_missing_intermediates(tmp_path):
 def test_infer_cli_decode_only(decode_only_env, monkeypatch):
     tmp_path, cfg_yaml = decode_only_env
     rc = infer_main([
-        "--config", str(cfg_yaml), "--decode-only",
+        "--config", str(cfg_yaml), "--decode-only", "--allow-random-weights",
         "--output_name", "cli_out", "--polyphony", "2", "--temperature", "0.5",
         "--seed", "3",
     ])
@@ -118,8 +118,21 @@ def test_infer_cli_sweep(decode_only_env):
     tmp_path, cfg_yaml = decode_only_env
     rc = infer_main([
         "--config", str(cfg_yaml), "--decode-only", "--sweep",
+        "--allow-random-weights",
         "--output_name", "sw", "--temperature", "0.9", "--seed", "1",
     ])
     assert rc == 0
     outs = sorted((tmp_path / "outputs" / "infer").glob("sw_p*r*s*.mid"))
     assert len(outs) == 27
+
+
+def test_missing_checkpoints_hard_error(decode_only_env):
+    """Without --allow-random-weights, missing model checkpoints must abort
+    (random weights produce meaningless output)."""
+    tmp_path, cfg_yaml = decode_only_env
+    config = load_config(cfg_yaml)
+    pipeline = InferencePipeline(config)  # allow_random_weights=False
+    attrs = {"polyphony_bin": 1, "rhythm_intensity_bin": 1,
+             "sustain_bin": 1, "pitch_overlap_bin": 2}
+    with pytest.raises(SystemExit):
+        pipeline.run("unused", attrs, decode_only=True)
