@@ -59,6 +59,22 @@ class BeatDetector:
 
         if params is not None:
             self.params = params
+        elif model_path is not None and Path(model_path).exists() and (
+            Path(model_path).suffix in (".pth", ".pt")
+        ):
+            # Reference torch checkpoint: trained WITH the head-7 key-slice
+            # bug, so flip the compat flag for exact behavioral parity.
+            from ..utils.torch_port import load_torch_beat_checkpoint
+
+            import dataclasses as _dc
+
+            self.model_config = _dc.replace(
+                self.model_config, compat_head7_bug=True
+            )
+            self.params = load_torch_beat_checkpoint(
+                model_path, self.model_config
+            )
+            logger.info(f"reference torch checkpoint ported from {model_path}")
         elif model_path is not None and Path(model_path).exists():
             from ..utils.training import load_params_only
 

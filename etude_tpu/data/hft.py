@@ -56,6 +56,15 @@ class HFT_Transformer:
         self.segment_batch = segment_batch
         if params is not None:
             self.params = params
+        elif model_path is not None and Path(model_path).exists() and (
+            Path(model_path).suffix in (".pth", ".pt", ".pkl")
+        ):
+            # Reference checkpoint (state dict or the pickled-whole-model
+            # latest.pkl format, hft_transformer.py:26-33).
+            from ..utils.torch_port import load_torch_amt_checkpoint
+
+            self.params = load_torch_amt_checkpoint(model_path, self.amt_config)
+            logger.info(f"reference torch checkpoint ported from {model_path}")
         elif model_path is not None and Path(model_path).exists():
             from ..utils.training import load_params_only
 

@@ -42,6 +42,10 @@ class BeatTransformerConfig:
     n_tempi: int = 300
     # Instrument-axis attention is interleaved at these layer indices.
     instr_layers: Tuple[int, ...] = (3, 4, 5)
+    # Reproduce the reference's head-7 key-slice training bug
+    # (dilated_transformer_layer.py:52) — required for exact parity when
+    # running ported reference checkpoints, off for from-scratch training.
+    compat_head7_bug: bool = False
 
 
 def init_params(config: BeatTransformerConfig, seed: int = 0, std: float = 0.02) -> Params:
@@ -151,7 +155,8 @@ def forward(
         q = _lin(a_in, layer["q"], dtype).reshape(-1, T, H, d).transpose(0, 2, 1, 3)
         k = _lin(a_in, layer["k"], dtype).reshape(-1, T, H, d).transpose(0, 2, 1, 3)
         v = _lin(a_in, layer["v"], dtype).reshape(-1, T, H, d).transpose(0, 2, 1, 3)
-        attn = dilated_attention(q, k, v, layer["er"].astype(dtype), 2 ** idx)
+        attn = dilated_attention(q, k, v, layer["er"].astype(dtype), 2 ** idx,
+                                 head7_bug=config.compat_head7_bug)
         sa = attn.transpose(0, 2, 1, 3).reshape(-1, T, D)
         h = h + sa
         ff = _lin(jax.nn.gelu(_lin(_ln(h, layer["ln2"]), layer["ff1"], dtype),

@@ -70,8 +70,15 @@ def dilated_attention(
     v: jnp.ndarray,   # [B, H, T, d]
     er: jnp.ndarray,  # [H, d, attn_len] relative-position embedding
     dilation: int,
+    head7_bug: bool = False,
 ) -> jnp.ndarray:
-    """Returns [B, H, T, d] attention output."""
+    """Returns [B, H, T, d] attention output.
+
+    head7_bug=True reproduces the reference's training bug (head 7 scores
+    against head 6's keys — dilated_transformer_layer.py:52) for exact parity
+    when running checkpoints that were TRAINED with it. Off by default."""
+    if head7_bug and q.shape[1] == 8:
+        k = k.at[:, 7].set(k[:, 6])
     if os.environ.get("ETUDE_DILATED_BACKEND") == "pallas":
         return dilated_attention_pallas(q, k, v, er, dilation)
     B, H, T, d = q.shape

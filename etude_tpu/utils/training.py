@@ -144,4 +144,33 @@ def save_params_only(
 def load_params_only(path: Union[str, Path], abstract_params: Any) -> Any:
     path = Path(path).resolve()
     restored = _checkpointer().restore(path, item={"params": abstract_params})
-    return restored["params"]
+    # Checkpoints may be stored in reduced precision (f16 shipped weights);
+    # promote to the caller's requested dtype for stable master weights.
+    return jax.tree.map(
+        lambda r, a: r.astype(a.dtype) if hasattr(a, "dtype") else r,
+        restored["params"], abstract_params,
+    )
+
+
+def save_aux_params(
+    path: Union[str, Path],
+    params: Any,
+    metadata: Optional[Dict[str, Any]] = None,
+    dtype=np.float16,
+) -> None:
+    """Params-only checkpoint for the auxiliary models (extractor / beat /
+    separator) — reduced-precision storage (these ship in-repo), with an
+    optional sidecar metadata.json describing the training provenance."""
+    path = Path(path).resolve()
+    if path.exists():
+        shutil.rmtree(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    stored = jax.tree.map(
+        lambda a: np.asarray(a, dtype) if np.issubdtype(
+            np.asarray(a).dtype, np.floating) else np.asarray(a),
+        params,
+    )
+    _checkpointer().save(path, {"params": stored})
+    if metadata is not None:
+        with open(path.parent / "metadata.json", "w", encoding="utf-8") as f:
+            json.dump(metadata, f, indent=2)
