@@ -23,9 +23,15 @@ from ..ops.chroma import (
     estimate_tuning,
     optimal_chroma_shift,
 )
-from ..ops.dtw import dtw_path
+from ..ops.dtw import dtw_path, mrms_dtw_path
 from ..utils.audio import decode_audio
 from ..utils.logger import logger
+
+# Above this many cost-matrix cells, use the multi-resolution banded DTW
+# (O(N·band) memory) instead of materializing the full matrix: 4 M cells
+# ≈ 16 MB f32 — full DTW below, MrMsDTW above (two 4-minute songs at 50 Hz
+# are ~144 M cells ≈ 576 MB full vs ~6 MB banded).
+_FULL_DTW_MAX_CELLS = 4_000_000
 
 
 class AudioAligner:
@@ -75,9 +81,21 @@ class AudioAligner:
         chroma_origin_s = np.roll(chroma_origin, shift, axis=1)
         onset_origin_s = np.roll(onset_origin, shift, axis=1)
 
-        wp = dtw_path(
-            chroma_cover, onset_cover, chroma_origin_s, onset_origin_s, alpha=0.5
-        )
+        n_cells = chroma_cover.shape[0] * chroma_origin_s.shape[0]
+        if n_cells > _FULL_DTW_MAX_CELLS:
+            logger.debug(
+                f"alignment: {n_cells / 1e6:.0f}M cells → multi-resolution "
+                "banded DTW"
+            )
+            wp = mrms_dtw_path(
+                chroma_cover, onset_cover, chroma_origin_s, onset_origin_s,
+                alpha=0.5,
+            )
+        else:
+            wp = dtw_path(
+                chroma_cover, onset_cover, chroma_origin_s, onset_origin_s,
+                alpha=0.5,
+            )
 
         pitch_shift = -shift % 12
         if pitch_shift > 6:

@@ -105,3 +105,53 @@ def dbn_viterbi_native(
         path.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return path, float(log_prob)
+
+
+def load_dtw_band_library() -> Optional[ctypes.CDLL]:
+    """The banded-DTW shared library, or None when unavailable."""
+    if "dtw_band" in _LIB_CACHE:
+        return _LIB_CACHE["dtw_band"]
+    lib_path = _build_library("dtw_band.cc")
+    lib = None
+    if lib_path is not None:
+        try:
+            lib = ctypes.CDLL(str(lib_path))
+            lib.dtw_band.restype = ctypes.c_double
+            lib.dtw_band.argtypes = [
+                ctypes.POINTER(ctypes.c_float),   # cost_band [N, 2w+1]
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # N, M, w
+                ctypes.POINTER(ctypes.c_int64),   # centers [N]
+                ctypes.c_float, ctypes.c_float, ctypes.c_float,  # step weights
+                ctypes.POINTER(ctypes.c_uint8),   # out codes [N, 2w+1]
+            ]
+        except OSError as exc:
+            logger.warn(f"failed to load native banded-DTW library: {exc}")
+            lib = None
+    _LIB_CACHE["dtw_band"] = lib
+    return lib
+
+
+def dtw_band_native(
+    cost_band: np.ndarray,   # [N, 2w+1] f32
+    m: int,
+    centers: np.ndarray,     # [N] int64
+    weights=(1.5, 1.5, 2.0),
+):
+    """Returns (codes [N, 2w+1] uint8, final cost) via the native DP."""
+    lib = load_dtw_band_library()
+    if lib is None:
+        raise RuntimeError("native banded-DTW library unavailable")
+    cost_band = np.ascontiguousarray(cost_band, np.float32)
+    centers = np.ascontiguousarray(centers, np.int64)
+    n, bw = cost_band.shape
+    w = (bw - 1) // 2
+    codes = np.empty((n, bw), np.uint8)
+    final = lib.dtw_band(
+        cost_band.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, m, w,
+        centers.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_float(weights[0]), ctypes.c_float(weights[1]),
+        ctypes.c_float(weights[2]),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return codes, float(final)

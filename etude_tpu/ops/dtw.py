@@ -124,3 +124,183 @@ def dtw_path(
     path.reverse()
     wp = np.asarray(path, dtype=np.int64).T
     return make_path_strictly_monotonic(wp)
+
+
+# ===================================================== multi-resolution DTW
+# MrMsDTW-style coarse-to-fine alignment (reference: synctoolbox
+# sync_via_mrmsdtw, etude/data/aligner.py:113-121): a full DTW at a heavily
+# downsampled resolution anchors the path; each finer level refines it inside
+# a diagonal band around the projected coarse path. Memory is O(N · band)
+# instead of O(N · M) — two 4-minute songs at 50 Hz are ~12k × 12k (≈576 MB
+# f32 full matrix) but only ~12k × 129 (≈6 MB) banded.
+
+def _smooth_downsample(
+    chroma: np.ndarray, onset: np.ndarray, factor: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Average-pool features over time by `factor`; chroma re-ℓ2-normalized
+    (synctoolbox smooths with a window then decimates — same effect)."""
+    if factor == 1:
+        return chroma, onset
+    T = (chroma.shape[0] // factor) * factor
+    c = chroma[:T].reshape(-1, factor, chroma.shape[1]).mean(axis=1)
+    o = onset[:T].reshape(-1, factor, onset.shape[1]).mean(axis=1)
+    c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-9)
+    o = o / np.maximum(np.linalg.norm(o, axis=1, keepdims=True), 1e-9)
+    return c.astype(np.float32), o.astype(np.float32)
+
+
+def _band_centers_from_path(
+    wp: np.ndarray, factor_prev: int, factor: int, n: int, m: int, w: int
+) -> np.ndarray:
+    """Project a coarse path onto the finer grid → monotone band centers."""
+    scale = factor_prev / factor
+    anchors_i = wp[0] * scale
+    anchors_j = wp[1] * scale
+    centers = np.interp(np.arange(n), anchors_i, anchors_j)
+    centers = np.round(centers).astype(np.int64)
+    centers = np.clip(centers, 0, m - 1)
+    # The band must contain the matrix corners.
+    centers[0] = min(centers[0], w)
+    centers[-1] = max(centers[-1], m - 1 - w)
+    return np.maximum.accumulate(centers)
+
+
+def _banded_cost(
+    a_chroma, a_onset, b_chroma, b_onset, centers, w, alpha
+) -> np.ndarray:
+    """[N, 2w+1] cost gathered along the band (O(N·w·d) work)."""
+    N, M = a_chroma.shape[0], b_chroma.shape[0]
+    offs = np.arange(-w, w + 1)
+    cols = centers[:, None] + offs[None, :]          # [N, 2w+1]
+    valid = (cols >= 0) & (cols < M)
+    cols_c = np.clip(cols, 0, M - 1)
+    bc = b_chroma[cols_c]                            # [N, 2w+1, d]
+    bo = b_onset[cols_c]
+    chroma_sim = np.einsum("nd,nkd->nk", a_chroma, bc)
+    onset_sim = np.einsum("nd,nkd->nk", a_onset, bo)
+    cost = alpha * (1.0 - chroma_sim) + (1.0 - alpha) * (1.0 - onset_sim)
+    return np.where(valid, cost, 1e6).astype(np.float32)
+
+
+def _dtw_band_numpy(cost_band, m, centers, weights=(W_H, W_V, W_D)):
+    """Pure-numpy fallback for the native banded DP (same contract)."""
+    n, bw = cost_band.shape
+    w = (bw - 1) // 2
+    INF = np.inf
+    codes = np.full((n, bw), 255, np.uint8)
+    prev = np.full(bw, INF)
+    c0 = centers[0]
+    for k in range(bw):
+        j = c0 + k - w
+        if j < 0 or j >= m:
+            continue
+        if j == 0:
+            prev[k] = cost_band[0, k]
+        elif k > 0 and prev[k - 1] < INF:
+            prev[k] = prev[k - 1] + weights[0] * cost_band[0, k]
+            codes[0, k] = 0
+    for i in range(1, n):
+        dc = int(centers[i] - centers[i - 1])
+        curr = np.full(bw, INF)
+        row = cost_band[i]
+        for k in range(bw):
+            j = centers[i] + k - w
+            if j < 0 or j >= m:
+                continue
+            c = row[k]
+            best, code = INF, 255
+            kv = k + dc
+            if 0 <= kv < bw and prev[kv] < INF:
+                v = prev[kv] + weights[1] * c
+                if v < best:
+                    best, code = v, 1
+            kd = k + dc - 1
+            if 0 <= kd < bw and prev[kd] < INF:
+                v = prev[kd] + weights[2] * c
+                if v < best:
+                    best, code = v, 2
+            if k > 0 and curr[k - 1] < INF:
+                v = curr[k - 1] + weights[0] * c
+                if v < best:
+                    best, code = v, 0
+            curr[k] = best
+            codes[i, k] = code
+        prev = curr
+    k_end = (m - 1) - int(centers[-1]) + w
+    final = prev[k_end] if 0 <= k_end < bw else INF
+    return codes, float(final)
+
+
+def _walk_band_codes(codes, centers, w, n, m) -> np.ndarray:
+    """Traceback through banded codes → path [2, L] from (0,0) to (n-1,m-1)."""
+    i, j = n - 1, m - 1
+    path = [(i, j)]
+    while i > 0 or j > 0:
+        k = j - int(centers[i]) + w
+        code = int(codes[i, k]) if 0 <= k < codes.shape[1] else 255
+        if code == 0:
+            j -= 1
+        elif code == 1:
+            i -= 1
+        elif code == 2:
+            i -= 1
+            j -= 1
+        else:
+            # Unreachable cell (should not happen with corner-anchored
+            # centers); fall back to a diagonal step toward the origin.
+            i, j = max(i - 1, 0), max(j - 1, 0)
+        path.append((i, j))
+    path.reverse()
+    return np.asarray(path, np.int64).T
+
+
+def dtw_path_banded(
+    a_chroma, a_onset, b_chroma, b_onset,
+    centers: np.ndarray, band: int, alpha: float = 0.5,
+) -> np.ndarray:
+    """Banded DTW around monotone `centers` (band half-width `band`)."""
+    cost_band = _banded_cost(
+        a_chroma, a_onset, b_chroma, b_onset, centers, band, alpha
+    )
+    M = b_chroma.shape[0]
+    try:
+        from ..native import dtw_band_native
+
+        codes, final = dtw_band_native(cost_band, M, centers)
+    except (RuntimeError, OSError):
+        codes, final = _dtw_band_numpy(cost_band, M, centers)
+    if not np.isfinite(final):
+        raise RuntimeError("banded DTW found no path (band too narrow)")
+    wp = _walk_band_codes(codes, centers, band, a_chroma.shape[0], M)
+    return make_path_strictly_monotonic(wp)
+
+
+def mrms_dtw_path(
+    feat_a_chroma: np.ndarray, feat_a_onset: np.ndarray,
+    feat_b_chroma: np.ndarray, feat_b_onset: np.ndarray,
+    alpha: float = 0.5,
+    levels: Tuple[int, ...] = (16, 4, 1),
+    band: int = 64,
+) -> np.ndarray:
+    """Coarse-to-fine DTW: full wavefront DTW at 1/levels[0] resolution, then
+    banded refinement at each finer level. Path semantics match dtw_path."""
+    a_c = np.asarray(feat_a_chroma, np.float32)
+    a_o = np.asarray(feat_a_onset, np.float32)
+    b_c = np.asarray(feat_b_chroma, np.float32)
+    b_o = np.asarray(feat_b_onset, np.float32)
+
+    # Coarsest level: full DTW on the downsampled features.
+    f0 = levels[0]
+    ac, ao = _smooth_downsample(a_c, a_o, f0)
+    bc, bo = _smooth_downsample(b_c, b_o, f0)
+    wp = dtw_path(ac, ao, bc, bo, alpha=alpha)
+
+    prev_factor = f0
+    for f in levels[1:]:
+        ac, ao = _smooth_downsample(a_c, a_o, f)
+        bc, bo = _smooth_downsample(b_c, b_o, f)
+        n, m = ac.shape[0], bc.shape[0]
+        centers = _band_centers_from_path(wp, prev_factor, f, n, m, band)
+        wp = dtw_path_banded(ac, ao, bc, bo, centers, band, alpha=alpha)
+        prev_factor = f
+    return wp
