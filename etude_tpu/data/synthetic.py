@@ -1,0 +1,359 @@
+"""Synthetic training corpora for the three auxiliary neural models.
+
+The reference pipeline presumes externally trained checkpoints for the
+extractor (etude/data/extractor.py:108-111), the beat model
+(etude/data/beat_detector.py:47-55), and the separation engine
+(scripts/run_separation.py). Those published weights are not redistributable
+here, so this module synthesizes supervised corpora whose ground truth is
+exact by construction:
+
+  * beat tracking  — procedural multi-stem "click track" mel features with a
+    known beat/downbeat grid (drums/bass pulse on the grid, melodic stems and
+    distractor bursts off it);
+  * transcription  — additive-synthesis piano clips rendered from random note
+    lists (our own SMF-style events), with onset/offset/frame/velocity label
+    grids derived from the same notes;
+  * separation     — five spectrally distinct stem magnitude tracks
+    (vocals / piano / guitar / bass / drums) whose sum is the mixture.
+
+Training on these corpora demonstrates real learning signal end-to-end
+(beat F-measure through ops/dbn, onset F1 through ops/peakpick, stem SDR) and
+produces checkpoints the pipeline loads by default. They are NOT a substitute
+for training on real music — scripts/train_*_synthetic.py documents how to
+point the same loops at real corpora.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+BEAT_FPS = 44100.0 / 1024.0          # beat-feature frame rate (sep contract)
+AMT_SR = 16000                        # extractor sample rate
+AMT_HOP = 256                         # extractor hop → fps 62.5
+SEP_N_FFT = 4096
+SEP_F = SEP_N_FFT // 2 + 1
+
+
+# ===================================================================== beat
+def synth_beat_example(
+    rng: np.random.Generator,
+    T: int = 512,
+    mel: int = 128,
+    n_stems: int = 5,
+    fps: float = BEAT_FPS,
+    min_bpm: float = 70.0,
+    max_bpm: float = 250.0,
+) -> Dict[str, np.ndarray]:
+    """One synthetic clip of separated-stem dB-mel features with beat labels.
+
+    Returns {x [stems, T, mel] f32 dB in [-80, 0], activations [T, 2],
+    tempo int, beat_times [K], downbeat_times [K']}.
+    """
+    bpm = float(np.exp(rng.uniform(np.log(min_bpm), np.log(max_bpm))))
+    period = 60.0 / bpm
+    time_sig = int(rng.choice([3, 4], p=[0.25, 0.75]))
+    phase = float(rng.uniform(0, period))
+    down_offset = int(rng.integers(time_sig))
+
+    dur = T / fps
+    ks = np.arange(int(dur / period) + 2)
+    beat_times = phase + ks * period
+    beat_times = beat_times[beat_times < dur - 1.0 / fps]
+    is_down = (ks[: len(beat_times)] % time_sig) == down_offset
+    down_times = beat_times[is_down]
+
+    x = np.full((n_stems, T, mel), -80.0, np.float32)
+    # Noise floor everywhere.
+    x += rng.uniform(0.0, 8.0, size=x.shape).astype(np.float32)
+
+    decay = np.array([0.0, -6.0, -14.0, -26.0], np.float32)  # dB per frame
+
+    def burst(stem, frame, bins, level):
+        for d, drop in enumerate(decay):
+            f = frame + d
+            if 0 <= f < T:
+                x[stem, f, bins] = np.maximum(x[stem, f, bins], level + drop)
+
+    lo_bins = np.arange(0, 16)
+    wide_bins = np.arange(0, mel)
+    hat_bins = np.arange(mel - 32, mel)
+
+    for t, down in zip(beat_times, is_down):
+        frame = int(round(t * fps))
+        # Drums (stem 4): wideband hit on every beat, stronger on downbeats.
+        lvl = -6.0 if down else -14.0
+        burst(4, frame, wide_bins, lvl + rng.uniform(-3, 3))
+        # Bass (stem 3): low-frequency pulse on the beat.
+        burst(3, frame, lo_bins, -10.0 + rng.uniform(-4, 4))
+
+    # Off-beat hats on the drums stem (half-period offsets).
+    for t in beat_times:
+        frame = int(round((t + period / 2) * fps))
+        if rng.random() < 0.7:
+            burst(4, frame, hat_bins, -26.0 + rng.uniform(-4, 4))
+
+    # Melodic stems (0 vocals / 1 piano / 2 other): sustained harmonic bands
+    # and distractor onsets NOT locked to the grid.
+    for stem in (0, 1, 2):
+        n_bands = int(rng.integers(2, 5))
+        for _ in range(n_bands):
+            b0 = int(rng.integers(8, mel - 12))
+            width = int(rng.integers(2, 6))
+            seg_start = int(rng.integers(0, T // 2))
+            seg_len = int(rng.integers(T // 4, T))
+            lvl = rng.uniform(-40, -18)
+            x[stem, seg_start:seg_start + seg_len, b0:b0 + width] = np.maximum(
+                x[stem, seg_start:seg_start + seg_len, b0:b0 + width], lvl
+            )
+        for _ in range(int(rng.integers(3, 10))):  # distractor bursts
+            burst(stem, int(rng.integers(0, T)),
+                  np.arange(*sorted(rng.integers(0, mel, 2)) or (0, 1)),
+                  rng.uniform(-30, -12))
+
+    x = np.clip(x, -80.0, 0.0)
+
+    act = np.zeros((T, 2), np.float32)
+    for t, down in zip(beat_times, is_down):
+        frame = int(round(t * fps))
+        for d, w in ((-1, 0.5), (0, 1.0), (1, 0.5)):  # madmom-style widening
+            f = frame + d
+            if 0 <= f < T:
+                act[f, 0] = max(act[f, 0], w)
+                if down:
+                    act[f, 1] = max(act[f, 1], w)
+
+    return {
+        "x": x,
+        "activations": act,
+        "tempo": np.int32(np.clip(round(bpm), 0, 299)),
+        "beat_times": beat_times.astype(np.float32),
+        "downbeat_times": down_times.astype(np.float32),
+    }
+
+
+def beat_batch(rng: np.random.Generator, batch: int, T: int = 512,
+               mel: int = 128) -> Dict[str, np.ndarray]:
+    ex = [synth_beat_example(rng, T=T, mel=mel) for _ in range(batch)]
+    return {
+        "x": np.stack([e["x"] for e in ex]),
+        "activations": np.stack([e["activations"] for e in ex]),
+        "tempo": np.stack([e["tempo"] for e in ex]),
+    }
+
+
+def beat_f_measure(est: np.ndarray, ref: np.ndarray,
+                   tol: float = 0.07) -> float:
+    """Standard beat-tracking F-measure (±70 ms window, 1-1 matching)."""
+    if len(ref) == 0 or len(est) == 0:
+        return 0.0
+    used = np.zeros(len(ref), bool)
+    tp = 0
+    for t in est:
+        d = np.abs(ref - t)
+        d[used] = np.inf
+        i = int(np.argmin(d))
+        if d[i] <= tol:
+            used[i] = True
+            tp += 1
+    precision = tp / len(est)
+    recall = tp / len(ref)
+    return 0.0 if tp == 0 else 2 * precision * recall / (precision + recall)
+
+
+# ====================================================================== AMT
+def synth_piano_notes(
+    rng: np.random.Generator,
+    dur: float,
+    notes_per_sec: float = 3.0,
+    pitch_lo: int = 30,
+    pitch_hi: int = 100,
+) -> List[Dict]:
+    """Random piano-roll note list {onset, offset, pitch, velocity}."""
+    n = max(int(rng.poisson(notes_per_sec * dur)), 1)
+    notes = []
+    for _ in range(n):
+        onset = float(rng.uniform(0.05, dur - 0.2))
+        length = float(rng.uniform(0.12, min(2.0, dur - onset - 0.05)))
+        # Mid-keyboard-weighted pitch choice.
+        pitch = int(np.clip(round(rng.normal(64, 15)), pitch_lo, pitch_hi))
+        vel = int(rng.integers(30, 121))
+        notes.append({"onset": onset, "offset": onset + length,
+                      "pitch": pitch, "velocity": vel})
+    notes.sort(key=lambda d: (d["onset"], d["pitch"]))
+    # Drop same-pitch overlaps (the synth can't voice them separately).
+    out: List[Dict] = []
+    last_off: Dict[int, float] = {}
+    for note in notes:
+        if note["onset"] < last_off.get(note["pitch"], -1.0) + 0.05:
+            continue
+        last_off[note["pitch"]] = note["offset"]
+        out.append(note)
+    return out
+
+
+def render_piano(notes: List[Dict], dur: float, sr: int = AMT_SR,
+                 n_harmonics: int = 6) -> np.ndarray:
+    """Additive-synthesis rendering: harmonics with exponential decay and a
+    5 ms attack ramp — piano-like enough for mel-domain transcription."""
+    wave = np.zeros(int(dur * sr) + 1, np.float32)
+    for note in notes:
+        f0 = 440.0 * 2.0 ** ((note["pitch"] - 69) / 12.0)
+        amp = 0.25 * note["velocity"] / 127.0
+        length = note["offset"] - note["onset"]
+        t = np.arange(int(length * sr)) / sr
+        tau = 0.2 + 200.0 / f0  # lower notes ring longer
+        env = np.exp(-t / tau)
+        env *= np.minimum(t / 0.005, 1.0)  # attack
+        sig = np.zeros_like(t)
+        for h in range(1, n_harmonics + 1):
+            fh = f0 * h
+            if fh >= sr / 2:
+                break
+            sig += (0.6 ** (h - 1)) * np.sin(2 * np.pi * fh * t)
+        i0 = int(note["onset"] * sr)
+        seg = (amp * env * sig).astype(np.float32)
+        wave[i0:i0 + len(seg)] += seg[: len(wave) - i0]
+    peak = np.abs(wave).max()
+    if peak > 1.0:
+        wave /= peak
+    return wave
+
+
+def amt_targets(
+    notes: List[Dict],
+    T: int,
+    fps: float = AMT_SR / AMT_HOP,
+    n_note: int = 88,
+    note_min: int = 21,
+) -> Dict[str, np.ndarray]:
+    """Note list → hFT supervision grids (onset/offset sharpness-weighted at
+    the two nearest frames, frame-level MPE, velocity class at sounding
+    frames)."""
+    onset = np.zeros((T, n_note), np.float32)
+    offset = np.zeros((T, n_note), np.float32)
+    mpe = np.zeros((T, n_note), np.float32)
+    velocity = np.zeros((T, n_note), np.int32)
+    for note in notes:
+        j = note["pitch"] - note_min
+        if not 0 <= j < n_note:
+            continue
+
+        def mark(grid, tsec):
+            f = tsec * fps
+            f0, frac = int(np.floor(f)), f - np.floor(f)
+            if 0 <= f0 < T:
+                grid[f0, j] = max(grid[f0, j], 1.0 - frac)
+            if 0 <= f0 + 1 < T:
+                grid[f0 + 1, j] = max(grid[f0 + 1, j], frac)
+
+        mark(onset, note["onset"])
+        mark(offset, note["offset"])
+        a = int(np.round(note["onset"] * fps))
+        b = int(np.round(note["offset"] * fps))
+        mpe[max(a, 0):min(b + 1, T), j] = 1.0
+        velocity[max(a, 0):min(b + 1, T), j] = note["velocity"]
+    return {"onset": onset, "offset": offset, "mpe": mpe, "velocity": velocity}
+
+
+# =============================================================== separation
+def _harmonic_stack(freqs: np.ndarray, f0: float, n_h: int, width: float,
+                    rolloff: float = 0.7) -> np.ndarray:
+    """Gaussian bumps at the first n_h harmonics of f0 over the bin grid."""
+    out = np.zeros_like(freqs)
+    for h in range(1, n_h + 1):
+        out += (rolloff ** (h - 1)) * np.exp(
+            -0.5 * ((freqs - f0 * h) / width) ** 2
+        )
+    return out
+
+
+def synth_separation_example(
+    rng: np.random.Generator,
+    T: int = 256,
+    F: int = SEP_F,
+    sr: int = 44100,
+    n_fft: int = SEP_N_FFT,
+) -> Dict[str, np.ndarray]:
+    """Five spectrally distinct stem magnitude tracks + their sum.
+
+    Stem order matches the pipeline contract (vocals, piano, guitar, bass,
+    drums). Returns {mix_mag [T, F], stem_mags [5, T, F]} (f32, linear mag).
+    """
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)[:F].astype(np.float32)
+    tt = np.arange(T, dtype=np.float32)
+    stems = np.zeros((5, T, F), np.float32)
+
+    # Vocals: gliding f0 with vibrato, phrase on/off envelope.
+    f0 = float(rng.uniform(150, 380))
+    glide = f0 * (1 + 0.2 * np.sin(2 * np.pi * tt / rng.uniform(80, 200)))
+    vib = 1 + 0.01 * np.sin(2 * np.pi * tt / 8.0)
+    env = (rng.random(T) < 0.8).astype(np.float32)
+    env = np.convolve(env, np.ones(9) / 9, mode="same")
+    for t in range(T):
+        stems[0, t] = env[t] * _harmonic_stack(freqs, glide[t] * vib[t], 8, 25.0)
+
+    # Piano: decaying harmonic events.
+    for _ in range(int(rng.integers(6, 14))):
+        t0 = int(rng.integers(0, T - 4))
+        p_f0 = 440.0 * 2.0 ** ((rng.integers(40, 88) - 69) / 12.0)
+        length = int(rng.integers(8, 40))
+        shape = _harmonic_stack(freqs, p_f0, 6, 15.0)
+        dec = np.exp(-np.arange(length) / (length / 3.0)).astype(np.float32)
+        for d in range(min(length, T - t0)):
+            stems[1, t0 + d] += dec[d] * shape
+
+    # Guitar: sustained mid-register chords (2–3 simultaneous stacks).
+    for _ in range(int(rng.integers(3, 7))):
+        t0 = int(rng.integers(0, T - 10))
+        length = int(rng.integers(30, 90))
+        chord = sum(
+            _harmonic_stack(
+                freqs, 440.0 * 2.0 ** ((rng.integers(45, 70) - 69) / 12.0),
+                5, 18.0,
+            )
+            for _ in range(int(rng.integers(2, 4)))
+        )
+        stems[2, t0:t0 + length] += 0.6 * chord[None, :]
+
+    # Bass: low f0, note changes on a slow grid.
+    t0 = 0
+    while t0 < T:
+        length = int(rng.integers(20, 60))
+        b_f0 = float(rng.uniform(40, 120))
+        stems[3, t0:t0 + length] += _harmonic_stack(freqs, b_f0, 4, 8.0)[None, :]
+        t0 += length
+
+    # Drums: broadband hits (snare/hat) + low kicks, fast decay.
+    kick_shape = np.exp(-freqs / 120.0).astype(np.float32)
+    noise_shape = (freqs > 800).astype(np.float32) * np.exp(-freqs / 9000.0)
+    for _ in range(int(rng.integers(15, 40))):
+        t0 = int(rng.integers(0, T - 3))
+        shape = kick_shape if rng.random() < 0.4 else noise_shape
+        lvl = float(rng.uniform(0.5, 1.5))
+        for d, dec in enumerate((1.0, 0.35, 0.1)):
+            if t0 + d < T:
+                stems[4, t0 + d] += lvl * dec * shape
+
+    # Per-stem loudness variation; drums/bass kept audible.
+    gains = rng.uniform(0.4, 1.2, size=5).astype(np.float32)
+    stems *= gains[:, None, None]
+    mix = stems.sum(axis=0)
+    return {"mix_mag": mix, "stem_mags": stems}
+
+
+def separation_batch(rng: np.random.Generator, batch: int, T: int = 256,
+                     F: int = SEP_F) -> Dict[str, np.ndarray]:
+    ex = [synth_separation_example(rng, T=T, F=F) for _ in range(batch)]
+    return {
+        "mix_mag": np.stack([e["mix_mag"] for e in ex]),
+        "stem_mags": np.stack([e["stem_mags"] for e in ex]),
+    }
+
+
+def stem_sdr(est: np.ndarray, ref: np.ndarray, eps: float = 1e-8) -> np.ndarray:
+    """Per-stem magnitude-domain SDR in dB: est/ref [S, T, F]."""
+    num = (ref ** 2).sum(axis=(1, 2))
+    den = ((ref - est) ** 2).sum(axis=(1, 2))
+    return 10.0 * np.log10((num + eps) / (den + eps))

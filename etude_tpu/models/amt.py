@@ -173,11 +173,18 @@ def forward(
     config: AMTConfig,
     spec: jnp.ndarray,            # [B, n_bin, n_margin + n_frame + n_margin]
     compute_dtype=jnp.bfloat16,
+    remat: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Returns both head sets:
     {onset,offset,mpe}_{freq,time}: [B, n_frame, n_note] sigmoids,
     velocity_{freq,time}: [B, n_frame, n_note, n_velocity] logits.
+
+    remat=True checkpoints every transformer layer body (training only): the
+    per-layer attention/FF intermediates over B*T frequency rows and B*88
+    time rows dominate HBM in the backward pass — without remat a batch-4
+    512-frame training step wants ~50 GB.
     """
+    ckpt = jax.checkpoint if remat else (lambda f: f)
     B = spec.shape[0]
     T, nbin, H = config.n_frame, config.n_bin, config.hid_dim
     C, K, n_out = config.cnn_channel, config.cnn_kernel, config.conv_out
@@ -207,7 +214,7 @@ def forward(
     def enc_body(h, layer):
         return _enc_layer(h, layer, config.encoder_n_head, dtype), None
 
-    x, _ = jax.lax.scan(enc_body, x, params["enc_layers"])
+    x, _ = jax.lax.scan(ckpt(enc_body), x, params["enc_layers"])
     enc = x  # [B*T, n_bin, H]
 
     # --- CAfreq: 88 note queries cross-attend to the frequency axis ------
@@ -228,7 +235,7 @@ def forward(
         h = _ln(h + _ffwd(h, layer["ff"], dtype), layer["ln3"])
         return h, None
 
-    q, _ = jax.lax.scan(dec_body, q, params["dec_layers"])
+    q, _ = jax.lax.scan(ckpt(dec_body), q, params["dec_layers"])
     midi_freq = q  # [B*T, n_note, H]
 
     def apply_heads(h, heads, lead_shape):
@@ -255,7 +262,7 @@ def forward(
     def time_body(h, layer):
         return _enc_layer(h, layer, config.decoder_n_head, dtype), None
 
-    y, _ = jax.lax.scan(time_body, y, params["time_layers"])
+    y, _ = jax.lax.scan(ckpt(time_body), y, params["time_layers"])
 
     y_btn = jnp.transpose(
         y.reshape(B, config.n_note, T, H), (0, 2, 1, 3)
@@ -283,6 +290,7 @@ def loss_fn(
     config: AMTConfig,
     batch: Dict[str, jnp.ndarray],
     compute_dtype=jnp.bfloat16,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """hFT training objective: binary cross-entropy on the onset/offset/MPE
     heads plus cross-entropy on the 128-way velocity classifier, summed over
@@ -292,7 +300,7 @@ def loss_fn(
     batch: spec [B, n_bin, margin+T+margin]; targets onset/offset/mpe
     [B, T, n_note] in [0,1]; velocity [B, T, n_note] int labels.
     """
-    out = forward(params, config, batch["spec"], compute_dtype)
+    out = forward(params, config, batch["spec"], compute_dtype, remat=remat)
 
     def bce(pred, target):
         pred = jnp.clip(pred, 1e-7, 1 - 1e-7)

@@ -1,0 +1,512 @@
+"""Whole-song on-device generation with a persistent sliding-window KV cache.
+
+The bucketed engine (models/generate.py) re-prefills every bar's full prompt
+(history pairs + current condition bar) — the reference's own inefficiency
+(etude/models/etude_decoder.py:294-315), inherited by round 1. This engine
+makes the observation that every bar's prompt is a contiguous SUFFIX of one
+continuous token stream
+
+    [E,E,...,E] X_0 Y_0 X_1 Y_1 ... X_i Y_i ...
+     n_ctx empty pairs (seeded once)
+
+so the whole song decodes as ONE jit-compiled program holding a ring-buffer
+KV cache in HBM:
+
+  * per bar, only the new condition tokens X_i are prefix-encoded (≈50–150
+    tokens) instead of the full ≈512-token prompt;
+  * the decode loop runs bar after bar with NO host round trips;
+  * the reference's empty-history padding for the first bars emerges
+    naturally from the sliding window over the seeded empty pairs;
+  * the truncation rule (keep the trailing max_pos·overlap tokens when the
+    prompt exceeds the cap) becomes a window-start adjustment.
+
+Rotary attention scores depend only on RELATIVE positions, so attending from
+a continuous stream reproduces the per-bar-rebuilt prompt's scores for
+identical window content. Semantics differ from the rebuild engine in one
+documented way: a history token's K/V is computed once, under the window it
+was generated in, rather than recomputed under each later bar's (shifted)
+window. Tokens keep the context they were generated under; the window shape
+the model sees is unchanged. Use the rebuild engine where exact reference
+logit reproduction is required.
+
+Global positions exceed the rotary table, so phases are computed on the fly
+with a split-position scheme (hi·4096 + lo, hi-phases folded mod 2π in f64
+on the host) that keeps f32 trig arguments small at any song length.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.tokenizer import SRC_CLASS_ID, TGT_CLASS_ID
+from ..ops.sampling import sample_token
+from ..utils.logger import logger
+from .decoder import (
+    ATTRIBUTE_ORDER,
+    EtudeDecoderConfig,
+    Params,
+    _layer_norm,
+    _rotate_half,
+    embed_inputs,
+)
+from .generate import ATTR_KEYS, _ATTR_KEY_TO_NAME
+
+_POS_SPLIT = 4096  # positions = hi * 4096 + lo; hi phases folded mod 2π
+
+
+@functools.lru_cache(maxsize=8)
+def _phase_tables(rotary_dim: int, rotary_base: float, max_hi: int):
+    """(hi_phase [max_hi, rot/2] f32 folded mod 2π, inv_freq [rot/2] f32).
+
+    Cached as NUMPY arrays: caching jnp arrays here would capture a tracer
+    the first time this runs inside a jit trace and leak it into later
+    traces."""
+    inv_freq = 1.0 / (
+        rotary_base ** (np.arange(0, rotary_dim, 2, dtype=np.float64) / rotary_dim)
+    )
+    hi = np.arange(max_hi, dtype=np.float64)[:, None] * _POS_SPLIT * inv_freq[None]
+    hi_phase = np.mod(hi, 2 * np.pi).astype(np.float32)
+    return hi_phase, inv_freq.astype(np.float32)
+
+
+def _rotary_at(positions: jnp.ndarray, config: EtudeDecoderConfig,
+               max_hi: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin [..., rotary_dim] at arbitrary (large) integer positions."""
+    hi_phase_np, inv_freq_np = _phase_tables(
+        config.rotary_dim, config.rotary_base, max_hi
+    )
+    hi_phase, inv_freq = jnp.asarray(hi_phase_np), jnp.asarray(inv_freq_np)
+    hi = positions // _POS_SPLIT
+    lo = (positions % _POS_SPLIT).astype(jnp.float32)
+    phase = hi_phase[hi] + lo[..., None] * inv_freq  # [..., rot/2]
+    emb = jnp.concatenate([phase, phase], axis=-1)   # [..., rot]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _apply_rotary_pos(x, cos, sin, rotary_dim):
+    x_rot, x_pass = x[..., :rotary_dim], x[..., rotary_dim:]
+    cos = cos[..., None, :]
+    sin = sin[..., None, :]
+    x_rot = x_rot * cos + _rotate_half(x_rot) * sin
+    return jnp.concatenate([x_rot, x_pass], axis=-1)
+
+
+def init_stream_cache(config: EtudeDecoderConfig, batch: int,
+                      ring: int, dtype=jnp.bfloat16):
+    """Ring cache with one extra scratch slot (index `ring`) that finished
+    streams write into so live window slots stay untouched."""
+    shape = (config.num_hidden_layers, batch, ring + 1,
+             config.num_attention_heads, config.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        # Global stream position held in each slot; -1 = empty/never visible.
+        "slot_pos": jnp.full((batch, ring + 1), -1, jnp.int32),
+    }
+
+
+def stream_chunk(
+    params: Params,
+    config: EtudeDecoderConfig,
+    cache,
+    input_ids: jnp.ndarray,      # [B, S]
+    class_ids: jnp.ndarray,      # [B, S]
+    attr_ids: Dict[str, jnp.ndarray],
+    start_pos: jnp.ndarray,      # [B] global position of token 0
+    win_start: jnp.ndarray,      # [B] first visible global position
+    write_mask: Optional[jnp.ndarray] = None,  # [B] False → park in scratch
+    max_hi: int = 16,
+    compute_dtype=jnp.bfloat16,
+):
+    """Encode S new tokens of the stream against the ring cache.
+
+    Every token t sits at global position start_pos[b] + t and is written to
+    ring slot (pos % ring). Right-padding junk beyond a stream's real length
+    is safe by construction: junk occupies slots belonging to FUTURE
+    positions, is never visible to any real query (its slot_pos exceeds every
+    live query position), and is overwritten by the real token of that
+    position before that position is ever queried. Returns (logits, cache).
+    """
+    B, S = input_ids.shape
+    ring = cache["slot_pos"].shape[1] - 1
+    n_heads, head_dim = config.num_attention_heads, config.head_dim
+    eps = config.layer_norm_eps
+
+    h = embed_inputs(params, config, input_ids, class_ids, attr_ids, compute_dtype)
+
+    positions = start_pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None]  # [B,S]
+    cos, sin = _rotary_at(positions, config, max_hi)
+
+    slots = positions % ring
+    if write_mask is not None:
+        slots = jnp.where(write_mask[:, None], slots, ring)  # park → scratch
+    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, S))
+
+    new_slot_pos = cache["slot_pos"].at[b_idx, slots].set(
+        jnp.where(write_mask[:, None], positions, -1)
+        if write_mask is not None else positions
+    )
+
+    # Attention bias [B, 1, S, ring+1]: visible iff win_start <= key_pos <=
+    # query_pos (slot_pos == -1 is never visible since win_start >= 0).
+    key_pos = new_slot_pos[:, None, None, :]
+    q_pos = positions[:, None, :, None]
+    visible = (key_pos >= win_start[:, None, None, None]) & (key_pos <= q_pos)
+    bias = jnp.where(visible, 0.0, -1e9).astype(jnp.float32)
+
+    def layer_body(h, inputs):
+        layer, k_cache, v_cache = inputs
+        x = h
+        a_in = _layer_norm(x, layer["ln1"]["scale"], layer["ln1"]["bias"], eps)
+        qkv = a_in @ layer["qkv"]["w"].astype(compute_dtype) + layer["qkv"]["b"].astype(compute_dtype)
+        qkv = qkv.reshape(B, S, n_heads, 3 * head_dim)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _apply_rotary_pos(q.astype(jnp.float32), cos, sin, config.rotary_dim)
+        k = _apply_rotary_pos(k.astype(jnp.float32), cos, sin, config.rotary_dim)
+
+        k_cache = k_cache.at[b_idx, slots].set(k.astype(k_cache.dtype))
+        v_cache = v_cache.at[b_idx, slots].set(v.astype(v_cache.dtype))
+
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk",
+            q.astype(compute_dtype), k_cache.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ) / np.sqrt(head_dim)
+        probs = jax.nn.softmax(scores + bias, axis=-1).astype(compute_dtype)
+        w_o = layer["attn_out"]["w"].astype(compute_dtype).reshape(
+            n_heads, head_dim, -1
+        )
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v_cache.astype(compute_dtype))
+        attn_out = jnp.einsum(
+            "bqhd,hde->bqe", ctx, w_o
+        ) + layer["attn_out"]["b"].astype(compute_dtype)
+
+        m_in = _layer_norm(x, layer["ln2"]["scale"], layer["ln2"]["bias"], eps)
+        m = m_in @ layer["mlp_in"]["w"].astype(compute_dtype) + layer["mlp_in"]["b"].astype(compute_dtype)
+        m = jax.nn.gelu(m, approximate=False)
+        mlp_out = m @ layer["mlp_out"]["w"].astype(compute_dtype) + layer["mlp_out"]["b"].astype(compute_dtype)
+        return x + attn_out + mlp_out, (k_cache, v_cache)
+
+    unroll = config.num_hidden_layers if S == 1 else 1
+    h, (new_k, new_v) = jax.lax.scan(
+        layer_body, h, (params["layers"], cache["k"], cache["v"]), unroll=unroll
+    )
+    h = _layer_norm(h, params["final_ln"]["scale"], params["final_ln"]["bias"], eps)
+    logits = h.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
+    return logits, {"k": new_k, "v": new_v, "slot_pos": new_slot_pos}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "n_ctx", "max_new_tokens", "ring",
+        "bar_bos_id", "bar_eos_id", "pad_id", "prompt_cap", "prompt_keep",
+        "max_hi",
+    ),
+)
+def generate_song_stream(
+    params: Params,
+    config: EtudeDecoderConfig,
+    x_tokens: jnp.ndarray,       # [B, N_BARS, X] int32, right-padded
+    x_lens: jnp.ndarray,         # [B, N_BARS] int32
+    x_attrs: Dict[str, jnp.ndarray],   # each [B, N_BARS] int32
+    n_bars: jnp.ndarray,         # scalar int32 (dynamic trip count)
+    rng: jax.Array,
+    temperature: jnp.ndarray,
+    top_p: jnp.ndarray,
+    *,
+    n_ctx: int,
+    max_new_tokens: int,
+    ring: int,
+    bar_bos_id: int,
+    bar_eos_id: int,
+    pad_id: int,
+    prompt_cap: int,
+    prompt_keep: int,
+    max_hi: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Generate every bar of a song in one on-device program.
+
+    Returns (y_tokens [B, N_BARS, max_new_tokens], y_counts [B, N_BARS]);
+    each bar's tokens exclude the Bar_BOS opener and include the Bar_EOS.
+    """
+    B, N_BARS, X = x_tokens.shape
+
+    cache = init_stream_cache(config, B, ring)
+
+    # ---- seed: n_ctx empty (X, Y) pairs — the reference's empty-history
+    # padding (etude_decoder.py:263-276) emerges from the sliding window.
+    seed_len = 4 * n_ctx
+    pair = [bar_bos_id, bar_eos_id]
+    seed_ids = jnp.asarray(pair * (2 * n_ctx), jnp.int32)[None].repeat(B, 0)
+    seed_cls = jnp.asarray(
+        ([SRC_CLASS_ID] * 2 + [TGT_CLASS_ID] * 2) * n_ctx, jnp.int32
+    )[None].repeat(B, 0)
+    seed_attrs = {
+        name: jnp.ones((B, seed_len), jnp.int32) for name in ATTRIBUTE_ORDER
+    }
+    zero = jnp.zeros((B,), jnp.int32)
+    _, cache = stream_chunk(
+        params, config, cache, seed_ids, seed_cls, seed_attrs,
+        start_pos=zero, win_start=zero, max_hi=max_hi,
+    )
+
+    # Pair starts for pairs [i, i + n_ctx] (window for bar i opens at the
+    # first of these): seeded pair j starts at 4j; pair n_ctx (= X_0) at 4n.
+    pair_starts0 = jnp.asarray(
+        [4 * j for j in range(n_ctx + 1)], jnp.int32
+    )[None].repeat(B, 0)
+
+    y_tokens0 = jnp.full((B, N_BARS, max_new_tokens), pad_id, jnp.int32)
+    y_counts0 = jnp.zeros((B, N_BARS), jnp.int32)
+    cur0 = jnp.full((B,), seed_len, jnp.int32)
+
+    def bar_body(state):
+        (i, cur, pair_starts, cache, y_tokens, y_counts, rng) = state
+
+        x_i = jax.lax.dynamic_index_in_dim(x_tokens, i, axis=1, keepdims=False)
+        len_i = jax.lax.dynamic_index_in_dim(x_lens, i, axis=1, keepdims=False)
+        attrs_i = {
+            name: jax.lax.dynamic_index_in_dim(a, i, axis=1, keepdims=False)
+            for name, a in x_attrs.items()
+        }
+
+        # Window start: last n_ctx pairs, tightened by the truncation rule
+        # (prompt = window + X_i; if longer than cap-1 keep the trailing
+        # prompt_keep tokens — generate.py build_prompt semantics).
+        win_start = pair_starts[:, 0]
+        x_end = cur + len_i
+        prompt_len = x_end - win_start
+        win_start = jnp.where(
+            prompt_len > prompt_cap - 1, x_end - prompt_keep, win_start
+        )
+
+        # ---- encode the new condition tokens (the bar's only "prefill").
+        attr_seq = {
+            name: jnp.broadcast_to(a[:, None], (B, X)) for name, a in attrs_i.items()
+        }
+        cls_seq = jnp.full((B, X), SRC_CLASS_ID, jnp.int32)
+        _, cache_x = stream_chunk(
+            params, config, cache, x_i, cls_seq, attr_seq,
+            start_pos=cur, win_start=win_start, max_hi=max_hi,
+        )
+
+        # ---- Bar_BOS opener (target class, target attrs) → first logits.
+        bos = jnp.full((B, 1), bar_bos_id, jnp.int32)
+        cls1 = jnp.full((B, 1), TGT_CLASS_ID, jnp.int32)
+        attr1 = {name: a[:, None] for name, a in attrs_i.items()}
+        logits, cache_y = stream_chunk(
+            params, config, cache_x, bos, cls1, attr1,
+            start_pos=x_end, win_start=win_start, max_hi=max_hi,
+        )
+        last_logits = logits[:, 0]
+
+        done0 = jnp.zeros((B,), bool)
+        counts0 = jnp.zeros((B,), jnp.int32)
+        bar_out0 = jnp.full((B, max_new_tokens), pad_id, jnp.int32)
+
+        def cond(s):
+            step, _, _, done, _, _, _ = s
+            return (step < max_new_tokens) & (~jnp.all(done))
+
+        def body(s):
+            step, last_logits, cache, done, bar_out, counts, rng = s
+            rng, sub = jax.random.split(rng)
+            tok = sample_token(last_logits, sub, temperature, top_p).astype(jnp.int32)
+            tok = jnp.where(done, pad_id, tok)
+            bar_out = jax.lax.dynamic_update_slice(bar_out, tok[:, None], (0, step))
+            counts = counts + jnp.where(done, 0, 1)
+            done_next = done | (tok == bar_eos_id)
+
+            pos = x_end + 1 + step
+            logits, cache = stream_chunk(
+                params, config, cache, tok[:, None], cls1, attr1,
+                start_pos=pos, win_start=win_start,
+                write_mask=~done, max_hi=max_hi,
+            )
+            return (step + 1, logits[:, 0], cache, done_next, bar_out,
+                    counts, rng)
+
+        rng, sub = jax.random.split(rng)
+        state0 = (jnp.int32(0), last_logits, cache_y, done0, bar_out0,
+                  counts0, sub)
+        _, _, cache, _, bar_out, counts, _ = jax.lax.while_loop(
+            cond, body, state0
+        )
+
+        y_tokens = jax.lax.dynamic_update_slice(
+            y_tokens, bar_out[:, None, :], (0, i, 0)
+        )
+        y_counts = jax.lax.dynamic_update_slice(
+            y_counts, counts[:, None], (0, i)
+        )
+
+        cur = x_end + 1 + counts       # X_i + BOS + generated tokens
+        pair_starts = jnp.concatenate(
+            [pair_starts[:, 1:], cur[:, None]], axis=1
+        )
+        return (i + 1, cur, pair_starts, cache, y_tokens, y_counts, rng)
+
+    def bar_cond(state):
+        return state[0] < n_bars
+
+    state = (jnp.int32(0), cur0, pair_starts0, cache, y_tokens0, y_counts0, rng)
+    _, _, _, _, y_tokens, y_counts, _ = jax.lax.while_loop(
+        bar_cond, bar_body, state
+    )
+    return y_tokens, y_counts
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return max(((n + multiple - 1) // multiple) * multiple, multiple)
+
+
+class StreamingGenerationEngine:
+    """Host wrapper: packs a song's condition bars once, runs ONE on-device
+    program for the entire generation, and unpacks bars.
+
+    Prompt-window semantics (history pairs, empty-bar padding, truncation,
+    attribute/class streams) mirror generate.GenerationEngine; see the module
+    docstring for the one divergence (history K/V computed once, streaming).
+    """
+
+    def __init__(
+        self,
+        config: EtudeDecoderConfig,
+        bar_bos_id: int,
+        bar_eos_id: int,
+        pad_id: int = 0,
+        max_bar_token_limit: int = 512,
+        context_overlap_ratio: float = 0.5,
+        prompt_cap: Optional[int] = None,
+        x_len_buckets: Sequence[int] = (64, 128, 192, 320),
+        bars_bucket: int = 32,
+    ):
+        self.config = config
+        self.bar_bos_id = bar_bos_id
+        self.bar_eos_id = bar_eos_id
+        self.pad_id = pad_id
+        self.max_bar_token_limit = min(
+            max_bar_token_limit, config.max_position_embeddings
+        )
+        derived_cap = max(
+            config.max_position_embeddings - self.max_bar_token_limit, 1
+        )
+        self.prompt_cap = min(prompt_cap, derived_cap) if prompt_cap else derived_cap
+        keep = int(config.max_position_embeddings * context_overlap_ratio) - 1
+        self.prompt_keep = max(min(keep, self.prompt_cap - 1), 1)
+        self.x_len_buckets = sorted(x_len_buckets)
+        self.bars_bucket = bars_bucket
+
+    def generate(self, params, all_x_bars, target_attributes_per_bar, **kw):
+        streams = self.generate_batch(
+            params, [all_x_bars], [target_attributes_per_bar], **kw
+        )
+        return streams[0]
+
+    def generate_batch(
+        self,
+        params: Params,
+        x_bars_per_stream: List[List[List[int]]],
+        attrs_per_stream: List[List[Dict[str, int]]],
+        *,
+        temperature: float = 0.0,
+        top_p: float = 0.9,
+        max_output_tokens: int = 25600,
+        seed: int = 0,
+        progress: bool = False,
+    ) -> List[List[List[int]]]:
+        B = len(x_bars_per_stream)
+        num_bars = max(len(s) for s in x_bars_per_stream)
+        if num_bars == 0:
+            return [[] for _ in range(B)]
+        n_ctx = self.config.context_num_past_xy_pairs
+
+        max_x = max(
+            (len(bar) for s in x_bars_per_stream for bar in s), default=2
+        )
+        # Condition bars longer than the prompt budget would be truncated by
+        # the window rule anyway; cap the buffer at the prompt cap.
+        max_x = min(max_x, self.prompt_cap)
+        X = next((b for b in self.x_len_buckets if max_x <= b),
+                 _round_up(max_x, 64))
+        N_BARS = _round_up(num_bars, self.bars_bucket)
+
+        x_tokens = np.full((B, N_BARS, X), self.pad_id, np.int32)
+        x_lens = np.zeros((B, N_BARS), np.int32)
+        x_attrs = {
+            name: np.ones((B, N_BARS), np.int32) for name in ATTRIBUTE_ORDER
+        }
+        empty_bar = [self.bar_bos_id, self.bar_eos_id]
+        for b in range(B):
+            stream = x_bars_per_stream[b]
+            for i in range(N_BARS):
+                bar = stream[i] if i < len(stream) else empty_bar
+                bar = bar[-X:]  # over-long bars keep their tail (window rule)
+                x_tokens[b, i, : len(bar)] = bar
+                x_lens[b, i] = len(bar)
+                attrs = (
+                    attrs_per_stream[b][i]
+                    if i < len(stream)
+                    else {k: 1 for k in ATTR_KEYS}
+                )
+                for key in ATTR_KEYS:
+                    x_attrs[_ATTR_KEY_TO_NAME[key]][b, i] = attrs[key]
+
+        # Stream length bound → rotary hi-table size.
+        max_pos = (
+            4 * n_ctx
+            + N_BARS * (X + 1 + self.max_bar_token_limit)
+        )
+        max_hi = int(max_pos // _POS_SPLIT) + 2
+
+        # Ring bound: the live window never exceeds (prompt_cap - 1) + BOS +
+        # generation, and right-padding junk extends at most X positions past
+        # the head — both must fit without aliasing a live slot.
+        ring = self.prompt_cap + X + self.max_bar_token_limit + 2
+
+        if progress:
+            logger.info(
+                f"streaming generation: {num_bars} bars "
+                f"(buckets: X={X}, bars={N_BARS}) in one device program"
+            )
+        y_tokens, y_counts = generate_song_stream(
+            params, self.config,
+            jnp.asarray(x_tokens), jnp.asarray(x_lens),
+            {k: jnp.asarray(v) for k, v in x_attrs.items()},
+            jnp.int32(num_bars),
+            jax.random.PRNGKey(seed),
+            jnp.float32(temperature), jnp.float32(top_p),
+            n_ctx=n_ctx,
+            max_new_tokens=self.max_bar_token_limit,
+            ring=ring,
+            bar_bos_id=self.bar_bos_id,
+            bar_eos_id=self.bar_eos_id,
+            pad_id=self.pad_id,
+            prompt_cap=self.prompt_cap,
+            prompt_keep=self.prompt_keep,
+            max_hi=max_hi,
+        )
+        y_tokens = np.asarray(y_tokens)
+        y_counts = np.asarray(y_counts)
+
+        outputs: List[List[List[int]]] = [[] for _ in range(B)]
+        for b in range(B):
+            total = 0
+            for i in range(len(x_bars_per_stream[b])):
+                # Matches the rebuild engine's budget rule: the bar that
+                # crosses max_output_tokens is kept, later bars are dropped.
+                if total >= max_output_tokens:
+                    logger.warn(
+                        f"stream {b}: max_output_tokens reached at bar {i}"
+                    )
+                    break
+                bar = [self.bar_bos_id] + y_tokens[b, i, : y_counts[b, i]].tolist()
+                total += len(bar) - 1
+                outputs[b].append(bar)
+        return outputs

@@ -35,9 +35,11 @@ from etude_tpu.utils.profiling import StageTimer, trace
 class InferencePipeline:
     """Audio (file or URL) → piano-cover MIDI."""
 
-    def __init__(self, config: EtudeConfig, allow_random_weights: bool = False):
+    def __init__(self, config: EtudeConfig, allow_random_weights: bool = False,
+                 engine_kind: str = "stream"):
         self.config = config
         self.allow_random_weights = allow_random_weights
+        self.engine_kind = engine_kind
         self.output_dir = Path(config.paths.infer_output_dir)
         self.work_dir = self.output_dir / "temp"
         self.output_dir.mkdir(parents=True, exist_ok=True)
@@ -149,14 +151,29 @@ class InferencePipeline:
             return
 
         d = self.config.decoder
-        engine = GenerationEngine(
-            model_config,
-            bar_bos_id=vocab.bar_bos_id,
-            bar_eos_id=vocab.bar_eos_id,
-            pad_id=vocab.pad_id,
-            prompt_buckets=tuple(d.prompt_buckets),
-            max_bar_token_limit=d.max_bar_token_limit,
-        )
+        if getattr(self, "engine_kind", "stream") == "stream":
+            # Persistent-KV whole-song program: no per-bar re-prefill, no
+            # per-bar host round trips (models/generate_stream.py).
+            from etude_tpu.models.generate_stream import (
+                StreamingGenerationEngine,
+            )
+
+            engine = StreamingGenerationEngine(
+                model_config,
+                bar_bos_id=vocab.bar_bos_id,
+                bar_eos_id=vocab.bar_eos_id,
+                pad_id=vocab.pad_id,
+                max_bar_token_limit=d.max_bar_token_limit,
+            )
+        else:
+            engine = GenerationEngine(
+                model_config,
+                bar_bos_id=vocab.bar_bos_id,
+                bar_eos_id=vocab.bar_eos_id,
+                pad_id=vocab.pad_id,
+                prompt_buckets=tuple(d.prompt_buckets),
+                max_bar_token_limit=d.max_bar_token_limit,
+            )
 
         if sweep:
             combos = [
@@ -285,6 +302,11 @@ def main(argv=None) -> int:
     gen.add_argument("--seed", type=int, default=0)
     gen.add_argument("--sweep", action="store_true",
                      help="decode all 27 attribute combinations (batched)")
+    gen.add_argument("--engine", choices=["stream", "rebuild"],
+                     default="stream",
+                     help="decode engine: 'stream' = whole-song persistent-KV "
+                          "program (fast path); 'rebuild' = per-bar prompt "
+                          "rebuild (exact reference semantics)")
     gen.add_argument("--allow-random-weights", action="store_true",
                      help="proceed with random init when checkpoints are "
                           "missing (smoke/testing only — output is "
@@ -307,7 +329,8 @@ def main(argv=None) -> int:
     }
 
     InferencePipeline(
-        config, allow_random_weights=args.allow_random_weights
+        config, allow_random_weights=args.allow_random_weights,
+        engine_kind=args.engine,
     ).run(
         audio_source=args.input,
         target_attributes=target_attributes,

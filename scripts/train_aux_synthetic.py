@@ -1,0 +1,310 @@
+#!/usr/bin/env python
+"""Train the auxiliary neural models on synthetic corpora with exact ground
+truth (etude_tpu/data/synthetic.py) and ship params-only checkpoints.
+
+The reference pipeline presumes externally trained weights for these models
+(extractor: etude/data/extractor.py:108-111; beat model:
+etude/data/beat_detector.py:47-55; separation engine:
+scripts/run_separation.py). No published weights are redistributable here, so
+these runs establish real learning signal end-to-end and produce default
+checkpoints the pipeline loads:
+
+    python scripts/train_aux_synthetic.py beat       → checkpoints/beat_detector
+    python scripts/train_aux_synthetic.py amt        → checkpoints/extractor
+    python scripts/train_aux_synthetic.py separator  → checkpoints/separator
+    python scripts/train_aux_synthetic.py all
+
+Each run ends with a held-out-metric evaluation (beat F-measure through the
+DBN tracker, onset F1 through the peak picker, stem SDR) recorded in the
+checkpoint's metadata.json. To train on a real corpus instead, replace the
+batch generator passed to `train_loop` with one yielding the same batch keys
+from real features/labels — everything else is unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from etude_tpu.data import synthetic as syn  # noqa: E402
+from etude_tpu.utils.logger import logger  # noqa: E402
+from etude_tpu.utils.training import save_aux_params  # noqa: E402
+
+
+# ------------------------------------------------------------------ harness
+def prefetch(gen_fn, n_steps: int, depth: int = 4):
+    """Host-side batch generation on a worker thread (the TPU step releases
+    the GIL, so generation overlaps device compute even on one core)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+
+    def worker():
+        for i in range(n_steps):
+            q.put(gen_fn(i))
+        q.put(None)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        yield item
+
+
+def train_loop(name, params, loss_fn, gen_fn, steps, lr, log_every=50):
+    """Generic jitted AdamW loop over host-generated batches."""
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(
+            optax.join_schedules(
+                [
+                    optax.linear_schedule(0.0, lr, max(steps // 20, 1)),
+                    optax.cosine_decay_schedule(lr, max(steps, 2)),
+                ],
+                boundaries=[max(steps // 20, 1)],
+            ),
+            weight_decay=0.01,
+        ),
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def wrapped(p):
+            out = loss_fn(p, batch)
+            return out if isinstance(out, tuple) else (out, {"loss": out})
+
+        (loss, metrics), grads = jax.value_and_grad(wrapped, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    t0 = time.time()
+    first_loss = last_loss = None
+    window = []
+    for i, batch in enumerate(prefetch(gen_fn, steps)):
+        params, opt_state, metrics = step(params, opt_state, batch)
+        window.append(metrics["loss"])
+        if i == 0 or (i + 1) % log_every == 0 or i == steps - 1:
+            loss = float(np.mean([float(x) for x in window]))
+            window = []
+            if first_loss is None:
+                first_loss = loss
+            last_loss = loss
+            logger.info(
+                f"[{name}] step {i + 1}/{steps} loss {loss:.4f} "
+                f"({(time.time() - t0):.0f}s)"
+            )
+    return params, {"first_loss": first_loss, "final_loss": last_loss,
+                    "steps": steps, "seconds": round(time.time() - t0, 1)}
+
+
+# --------------------------------------------------------------------- beat
+def run_beat(args):
+    from etude_tpu.data.synthetic import BEAT_FPS, beat_f_measure
+    from etude_tpu.models import beat_transformer as bt
+    from etude_tpu.ops.dbn import DBNBeatTracker
+
+    config = bt.BeatTransformerConfig()
+    params = bt.init_params(config, seed=args.seed)
+    logger.info(f"beat model: {bt.param_count(params) / 1e6:.2f}M params")
+    rng = np.random.default_rng(args.seed)
+    T = args.beat_frames
+
+    def gen(_i):
+        return syn.beat_batch(rng, args.batch, T=T)
+
+    def loss(p, batch):
+        return bt.loss_fn(p, config, batch)
+
+    params, stats = train_loop("beat", params, loss, gen, args.steps, args.lr)
+
+    # Held-out eval: sigmoid activations → DBN tracker → F-measure.
+    eval_rng = np.random.default_rng(args.seed + 10_000)
+    tracker = DBNBeatTracker(min_bpm=70, max_bpm=250, fps=BEAT_FPS)
+    fwd = jax.jit(lambda p, x: jax.nn.sigmoid(bt.forward(p, config, x)[0]))
+    scores = []
+    for _ in range(args.eval_clips):
+        ex = syn.synth_beat_example(eval_rng, T=T)
+        act = np.asarray(fwd(params, ex["x"][None])[0], np.float32)
+        est = tracker(act[:, 0])
+        scores.append(beat_f_measure(est, ex["beat_times"]))
+    f_measure = float(np.mean(scores))
+    logger.success(f"beat F-measure (held-out synthetic): {f_measure:.3f}")
+
+    stats.update({"beat_f_measure": f_measure, "corpus": "synthetic-click",
+                  "train_frames": T, "model": "BeatTransformerConfig()"})
+    out = REPO / "checkpoints" / "beat_detector" / "latest.ckpt"
+    save_aux_params(out, params, metadata=stats)
+    logger.success(f"saved {out}")
+    return f_measure
+
+
+# ---------------------------------------------------------------------- amt
+def _amt_spec_from_wave(wave, fc_margin, n_frame):
+    """Rendered wave → margin-padded [n_bin, margin+T+margin] spec (host)."""
+    from etude_tpu.ops.mel import log_mel_spectrogram
+
+    logmel = np.asarray(log_mel_spectrogram(
+        jnp.asarray(wave, jnp.float32),
+        sr=syn.AMT_SR, n_fft=2048, hop=syn.AMT_HOP,
+        win_length=2048, n_mels=256, log_offset=1e-8,
+    ))  # [T', 256]
+    T = logmel.shape[0]
+    if T < n_frame:
+        logmel = np.pad(logmel, ((0, n_frame - T), (0, 0)),
+                        constant_values=-18.0)
+    spec = np.full((256, n_frame + 2 * fc_margin), -18.0, np.float32)
+    spec[:, fc_margin:fc_margin + n_frame] = logmel[:n_frame].T
+    return spec
+
+
+def run_amt(args):
+    from etude_tpu.models import amt
+
+    config = amt.AMTConfig()  # inference shape: n_frame 512, margins 32
+    params = amt.init_params(config, seed=args.seed)
+    logger.info(f"amt model: {amt.param_count(params) / 1e6:.2f}M params")
+    rng = np.random.default_rng(args.seed)
+
+    fps = syn.AMT_SR / syn.AMT_HOP
+    dur = config.n_frame / fps + 0.3
+
+    def make_example(r):
+        notes = syn.synth_piano_notes(r, dur)
+        wave = syn.render_piano(notes, dur)
+        spec = _amt_spec_from_wave(wave, config.n_margin, config.n_frame)
+        targets = syn.amt_targets(notes, config.n_frame, fps=fps)
+        return spec, targets, notes
+
+    def gen(_i):
+        specs, tg = [], {"onset": [], "offset": [], "mpe": [], "velocity": []}
+        for _ in range(args.batch):
+            spec, targets, _notes = make_example(rng)
+            specs.append(spec)
+            for k in tg:
+                tg[k].append(targets[k])
+        batch = {k: np.stack(v) for k, v in tg.items()}
+        batch["spec"] = np.stack(specs)
+        return batch
+
+    def loss(p, batch):
+        return amt.loss_fn(p, config, batch, remat=True)
+
+    params, stats = train_loop("amt", params, loss, gen, args.steps, args.lr)
+
+    # Held-out eval: peak-picked notes vs ground truth → onset F1.
+    from etude_tpu.evaluation.metrics.onset_f1 import onset_f1
+    from etude_tpu.ops.peakpick import activations_to_notes
+
+    eval_rng = np.random.default_rng(args.seed + 10_000)
+    fwd = jax.jit(lambda p, s: amt.forward(p, config, s))
+    f1s = []
+    for _ in range(args.eval_clips):
+        spec, _targets, notes = make_example(eval_rng)
+        out = fwd(params, spec[None])
+        est = activations_to_notes(
+            np.asarray(out["onset_time"][0], np.float32),
+            np.asarray(out["offset_time"][0], np.float32),
+            np.asarray(out["mpe_time"][0], np.float32),
+            np.asarray(jnp.argmax(out["velocity_time"][0], -1), np.int32),
+            hop_sec=syn.AMT_HOP / syn.AMT_SR,
+        )
+        f1s.append(onset_f1(notes, est)["f1"])
+    f1 = float(np.mean(f1s))
+    logger.success(f"amt onset F1 (held-out synthetic): {f1:.3f}")
+
+    stats.update({"onset_f1": f1, "corpus": "synthetic-additive-piano",
+                  "model": "AMTConfig()"})
+    out_path = REPO / "checkpoints" / "extractor" / "latest.ckpt"
+    save_aux_params(out_path, params, metadata=stats)
+    logger.success(f"saved {out_path}")
+    return f1
+
+
+# ---------------------------------------------------------------- separator
+def run_separator(args):
+    from etude_tpu.data.synthetic import stem_sdr
+    from etude_tpu.models import separator as sep
+
+    config = sep.SeparatorConfig()
+    params = sep.init_params(config, seed=args.seed)
+    logger.info(f"separator: {sep.param_count(params) / 1e6:.2f}M params")
+    rng = np.random.default_rng(args.seed)
+    T = args.sep_frames
+
+    def gen(_i):
+        return syn.separation_batch(rng, args.batch, T=T)
+
+    def loss(p, batch):
+        return sep.loss_fn(p, config, batch)
+
+    params, stats = train_loop("separator", params, loss, gen,
+                               args.steps, args.lr)
+
+    # Held-out eval: magnitude SDR of masked mixture vs uniform-mask baseline.
+    eval_rng = np.random.default_rng(args.seed + 10_000)
+    fwd = jax.jit(lambda p, m: sep.forward(p, config, jnp.log1p(m)))
+    sdrs, base_sdrs = [], []
+    for _ in range(args.eval_clips):
+        ex = syn.synth_separation_example(eval_rng, T=T)
+        masks = np.asarray(fwd(params, ex["mix_mag"][None])[0], np.float32)
+        est = masks * ex["mix_mag"][None]
+        sdrs.append(stem_sdr(est, ex["stem_mags"]).mean())
+        base = np.repeat(ex["mix_mag"][None] / 5.0, 5, axis=0)
+        base_sdrs.append(stem_sdr(base, ex["stem_mags"]).mean())
+    sdr, base = float(np.mean(sdrs)), float(np.mean(base_sdrs))
+    logger.success(
+        f"separator stem SDR (held-out synthetic): {sdr:.2f} dB "
+        f"(uniform-mask baseline {base:.2f} dB)"
+    )
+
+    stats.update({"stem_sdr_db": sdr, "baseline_sdr_db": base,
+                  "corpus": "synthetic-stems", "train_frames": T,
+                  "model": "SeparatorConfig()"})
+    out = REPO / "checkpoints" / "separator" / "latest.ckpt"
+    save_aux_params(out, params, metadata=stats)
+    logger.success(f"saved {out}")
+    return sdr
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("model", choices=["beat", "amt", "separator", "all"])
+    parser.add_argument("--steps", type=int, default=1500)
+    parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--eval-clips", type=int, default=8)
+    parser.add_argument("--beat-frames", type=int, default=512)
+    parser.add_argument("--sep-frames", type=int, default=256)
+    args = parser.parse_args(argv)
+
+    defaults = {"beat": (8, 5e-4), "amt": (4, 4e-4), "separator": (4, 1e-3)}
+    targets = ["beat", "amt", "separator"] if args.model == "all" else [args.model]
+    for name in targets:
+        batch, lr = defaults[name]
+        run = {"beat": run_beat, "amt": run_amt, "separator": run_separator}[name]
+        sub = argparse.Namespace(**vars(args))
+        sub.batch = args.batch or batch
+        sub.lr = args.lr or lr
+        logger.stage(f"Training {name} (synthetic corpus)")
+        run(sub)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,214 @@
+"""Streaming (persistent-KV, whole-song-on-device) generation engine tests.
+
+Bar 0 of the stream is EXACTLY the rebuild engine's bar-0 prompt (seeded
+empty pairs + X_0 + BOS with identical content and relative positions), so
+its greedy output must match token-for-token. Later bars differ only by the
+documented streaming-KV semantics; they are checked structurally and through
+a window-content logit-consistency oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from etude_tpu.models.decoder import (
+    ATTRIBUTE_ORDER,
+    EtudeDecoderConfig,
+    forward,
+    init_params,
+)
+from etude_tpu.models.generate import ATTR_KEYS, GenerationEngine
+from etude_tpu.models.generate_stream import (
+    StreamingGenerationEngine,
+    init_stream_cache,
+    stream_chunk,
+)
+from etude_tpu.data.tokenizer import SRC_CLASS_ID, TGT_CLASS_ID
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = EtudeDecoderConfig(
+        vocab_size=32,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=128,
+        attribute_emb_dim=8,
+    )
+    params = init_params(config, seed=0)
+    BOS, EOS = 4, 5
+    stream_engine = StreamingGenerationEngine(
+        config, bar_bos_id=BOS, bar_eos_id=EOS, pad_id=0,
+        max_bar_token_limit=32, x_len_buckets=(16, 32), bars_bucket=8,
+    )
+    rebuild_engine = GenerationEngine(
+        config, bar_bos_id=BOS, bar_eos_id=EOS, pad_id=0,
+        prompt_buckets=(32, 64), max_bar_token_limit=32,
+    )
+    return config, params, stream_engine, rebuild_engine, BOS, EOS
+
+
+def _song(BOS, EOS, n_bars=6, notes_per_bar=3, seed=0):
+    rng = np.random.default_rng(seed)
+    bars = []
+    for _ in range(n_bars):
+        body = rng.integers(6, 32, notes_per_bar).tolist()
+        bars.append([BOS] + body + [EOS])
+    attrs = [{k: int(rng.integers(0, 3)) for k in ATTR_KEYS}
+             for _ in range(n_bars)]
+    return bars, attrs
+
+
+def test_stream_smoke_structure(setup):
+    config, params, engine, _, BOS, EOS = setup
+    bars, attrs = _song(BOS, EOS, n_bars=6)
+    out = engine.generate(params, bars, attrs, temperature=0.8, seed=7)
+    assert len(out) == 6
+    for bar in out:
+        assert bar[0] == BOS
+        assert len(bar) <= 1 + 32
+        # EOS, if present, is terminal.
+        if EOS in bar:
+            assert bar.index(EOS) == len(bar) - 1
+
+
+def test_stream_bar0_matches_rebuild_engine(setup):
+    """Greedy bar 0 must match the rebuild engine exactly: identical window
+    content and relative positions."""
+    config, params, stream_engine, rebuild_engine, BOS, EOS = setup
+    bars, attrs = _song(BOS, EOS, n_bars=1, seed=3)
+    out_s = stream_engine.generate(params, bars, attrs, temperature=0.0)
+    out_r = rebuild_engine.generate(params, bars, attrs, temperature=0.0)
+    assert out_s[0] == out_r[0]
+
+
+def test_stream_deterministic(setup):
+    config, params, engine, _, BOS, EOS = setup
+    bars, attrs = _song(BOS, EOS, n_bars=4, seed=5)
+    a = engine.generate(params, bars, attrs, temperature=0.9, seed=11)
+    b = engine.generate(params, bars, attrs, temperature=0.9, seed=11)
+    assert a == b
+    c = engine.generate(params, bars, attrs, temperature=0.9, seed=12)
+    assert a != c or True  # different seed may coincide on tiny vocab
+
+
+def test_stream_batch_lockstep(setup):
+    config, params, engine, _, BOS, EOS = setup
+    bars1, attrs1 = _song(BOS, EOS, n_bars=5, seed=1)
+    bars2, attrs2 = _song(BOS, EOS, n_bars=3, seed=2)
+    outs = engine.generate_batch(
+        params, [bars1, bars2], [attrs1, attrs2], temperature=0.5, seed=4
+    )
+    assert len(outs[0]) == 5 and len(outs[1]) == 3
+    # Batched results equal the same stream generated alone (same seed →
+    # same per-bar rng fold; done-stream parking keeps streams independent).
+    solo = engine.generate_batch(params, [bars1], [attrs1],
+                                 temperature=0.5, seed=4)
+    assert outs[0] == solo[0]
+
+
+def test_stream_long_song_window_slide(setup):
+    """Longer song than the window: exercises truncation + ring wraparound
+    without shape or masking failures."""
+    config, params, engine, _, BOS, EOS = setup
+    bars, attrs = _song(BOS, EOS, n_bars=14, notes_per_bar=8, seed=9)
+    out = engine.generate(params, bars, attrs, temperature=0.7, seed=1)
+    assert len(out) == 14
+    for bar in out:
+        assert bar[0] == BOS and len(bar) <= 33
+
+
+def test_stream_max_output_tokens_budget(setup):
+    config, params, engine, _, BOS, EOS = setup
+    bars, attrs = _song(BOS, EOS, n_bars=8, seed=6)
+    out = engine.generate(params, bars, attrs, temperature=0.9, seed=2,
+                          max_output_tokens=10)
+    # Budget keeps the crossing bar and drops the rest.
+    assert 1 <= len(out) < 8
+
+
+def test_stream_chunk_matches_fresh_forward(setup):
+    """Oracle check of the ring machinery: logits for a contiguous stream
+    prefix (no window slide yet) equal a plain full-sequence forward."""
+    config, params, *_ = setup
+    rng = np.random.default_rng(0)
+    B, S = 2, 24
+    ids = rng.integers(4, 32, (B, S)).astype(np.int32)
+    cls = rng.integers(1, 3, (B, S)).astype(np.int32)
+    attrs = {
+        name: rng.integers(0, 3, (B, S)).astype(np.int32)
+        for name in ATTRIBUTE_ORDER
+    }
+
+    cache = init_stream_cache(config, B, ring=64)
+    zero = jnp.zeros((B,), jnp.int32)
+    # Feed in two chunks + token-by-token tail.
+    logits1, cache = stream_chunk(
+        params, config, cache, jnp.asarray(ids[:, :10]),
+        jnp.asarray(cls[:, :10]),
+        {k: jnp.asarray(v[:, :10]) for k, v in attrs.items()},
+        start_pos=zero, win_start=zero,
+    )
+    logits2, cache = stream_chunk(
+        params, config, cache, jnp.asarray(ids[:, 10:20]),
+        jnp.asarray(cls[:, 10:20]),
+        {k: jnp.asarray(v[:, 10:20]) for k, v in attrs.items()},
+        start_pos=zero + 10, win_start=zero,
+    )
+    tail = []
+    for t in range(20, S):
+        lt, cache = stream_chunk(
+            params, config, cache, jnp.asarray(ids[:, t:t + 1]),
+            jnp.asarray(cls[:, t:t + 1]),
+            {k: jnp.asarray(v[:, t:t + 1]) for k, v in attrs.items()},
+            start_pos=zero + t, win_start=zero,
+        )
+        tail.append(lt)
+    stream_logits = jnp.concatenate([logits1, logits2] + tail, axis=1)
+
+    full_logits = forward(
+        params, config, jnp.asarray(ids), jnp.asarray(cls),
+        {k: jnp.asarray(v) for k, v in attrs.items()},
+    )
+    np.testing.assert_allclose(
+        np.asarray(stream_logits), np.asarray(full_logits),
+        atol=2e-2, rtol=2e-2,  # bf16 matmuls; relative positions identical
+    )
+
+
+def test_stream_window_respected(setup):
+    """A key outside win_start must not influence logits: feeding garbage
+    before the window start changes nothing."""
+    config, params, *_ = setup
+    rng = np.random.default_rng(1)
+    B, S = 1, 8
+    ids = rng.integers(4, 32, (B, S)).astype(np.int32)
+    cls = np.full((B, S), TGT_CLASS_ID, np.int32)
+    attrs = {name: np.ones((B, S), np.int32) for name in ATTRIBUTE_ORDER}
+
+    def run(prefix_ids):
+        cache = init_stream_cache(config, B, ring=64)
+        pos = jnp.zeros((B,), jnp.int32)
+        win = jnp.full((B,), 4, jnp.int32)  # window starts at position 4
+        _, cache = stream_chunk(
+            params, config, cache, jnp.asarray(prefix_ids), jnp.asarray(cls),
+            {k: jnp.asarray(v) for k, v in attrs.items()},
+            start_pos=pos, win_start=win,
+        )
+        logits, _ = stream_chunk(
+            params, config, cache, jnp.asarray(ids[:, :1]),
+            jnp.asarray(cls[:, :1]),
+            {k: jnp.asarray(v[:, :1]) for k, v in attrs.items()},
+            start_pos=pos + S, win_start=win,
+        )
+        return np.asarray(logits)
+
+    a = run(ids)
+    mutated = ids.copy()
+    mutated[:, :4] = 7  # mutate tokens strictly before the window start
+    b = run(mutated)
+    np.testing.assert_allclose(a, b, atol=1e-5)
