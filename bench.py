@@ -6,9 +6,16 @@ per-step latency varies several-fold with service load; the batch of 16
 parallel attribute streams amortizes that latency the way production
 serving would (the engine decodes up to 27 streams for the attribute sweep).
 
-Measures the KV-cached on-device generation engine (prefill + sampled decode
-under one jit) in decoder tokens/sec — the hot loop of the reference's decode
-stage (BASELINE.json metric "decoder tokens/sec").
+Two numbers are measured (BASELINE.json metric "decoder tokens/sec"):
+  * batched: 16 lockstep attribute streams through the bucketed engine —
+    the serving-throughput number and the headline metric;
+  * single_stream: one song through the streaming engine (persistent ring
+    KV, whole song in ONE device program, no per-bar prefill or host trips)
+    — the latency-path number.
+
+Weights: the distilled decoder checkpoint (checkpoints/decoder) when
+present — so sampled distributions and EOS behavior are trained-model-real —
+otherwise random init (flagged in the output).
 
 vs_baseline compares against REF_TOKENS_PER_SEC, an estimate of the
 reference's Python token-at-a-time loop (per-step host sync + per-bar KV
@@ -22,26 +29,26 @@ from __future__ import annotations
 
 import json
 import time
+from pathlib import Path
 
 import numpy as np
 
 REF_TOKENS_PER_SEC = 100.0
 
-# Benchmark shape: one song's worth of bars, full-size model, batch of
-# attribute streams like the 27-combo sweep.
 N_BARS = 8
 BATCH = 16
 MAX_BAR_TOKENS = 128
+SINGLE_N_BARS = 24
 
 
 def main() -> None:
     import os
     import time as _time
 
-    # The TPU backend registration is occasionally transient; retry once.
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
     import jax
 
+    # The TPU backend registration is occasionally transient; retry once.
     for attempt in range(3):
         try:
             jax.devices()
@@ -53,53 +60,90 @@ def main() -> None:
 
     from etude_tpu.models.decoder import EtudeDecoderConfig, init_params
     from etude_tpu.models.generate import ATTR_KEYS, GenerationEngine
+    from etude_tpu.models.generate_stream import StreamingGenerationEngine
 
-    config = EtudeDecoderConfig()
-    params = init_params(config, seed=0)
+    repo = Path(__file__).resolve().parent
+    ckpt = repo / "checkpoints" / "decoder"
+    config_path = ckpt / "etude_decoder_config.json"
+    model_path = ckpt / "latest.ckpt"
+    vocab_path = ckpt / "vocab.json"
 
-    BOS, EOS = 4, 5
-    # prompt_cap pinned to 512 → exactly one bucket and one compiled
-    # generation program (the remote compile service on this stack is slow
-    # and weakly cached); history prompts are truncated into the cap.
+    if config_path.exists() and model_path.exists():
+        from etude_tpu.utils.model_loader import load_etude_decoder
+
+        params, config = load_etude_decoder(config_path, model_path)
+        weights = "distilled"
+        if vocab_path.exists():
+            from etude_tpu.data.vocab import Vocab
+
+            vocab = Vocab.load(vocab_path)
+            BOS, EOS = vocab.bar_bos_id, vocab.bar_eos_id
+            note_ids = [
+                vocab.encode(f"Note_{p}") for p in range(60, 72)
+            ] + [vocab.encode("Pos_0"), vocab.encode("Duration_4")]
+        else:
+            BOS, EOS, note_ids = 4, 5, list(range(6, 30))
+    else:
+        config = EtudeDecoderConfig()
+        params = init_params(config, seed=0)
+        weights = "random"
+        BOS, EOS, note_ids = 4, 5, list(range(6, 30))
+
+    rng = np.random.default_rng(0)
+
+    def make_song(n_bars):
+        bars, attrs = [], []
+        for _ in range(n_bars):
+            body = rng.choice(note_ids, size=24).tolist()
+            bars.append([BOS] + body + [EOS])
+            attrs.append({k: 1 for k in ATTR_KEYS})
+        return bars, attrs
+
+    # ---- batched serving throughput (bucketed engine, 16 streams) -------
     engine = GenerationEngine(
         config, bar_bos_id=BOS, bar_eos_id=EOS,
         max_bar_token_limit=MAX_BAR_TOKENS,
         prompt_buckets=(512,), prompt_cap=512,
     )
+    x_bars, attrs = make_song(N_BARS)
 
-    rng = np.random.default_rng(0)
-    x_bars = [
-        [BOS] + rng.integers(6, config.vocab_size, size=24).tolist() + [EOS]
-        for _ in range(N_BARS)
-    ]
-    attrs = [{k: 1 for k in ATTR_KEYS} for _ in range(N_BARS)]
-
-    def run(n_bars, seed):
+    def run_batched(n_bars, seed):
         streams = engine.generate_batch(
-            params,
-            [x_bars[:n_bars]] * BATCH,
-            [attrs[:n_bars]] * BATCH,
-            temperature=0.8,
-            top_p=0.9,
-            seed=seed,
+            params, [x_bars[:n_bars]] * BATCH, [attrs[:n_bars]] * BATCH,
+            temperature=0.8, top_p=0.9, seed=seed,
         )
         return sum(len(bar) for s in streams for bar in s)
 
-    # Warmup: compile the single generation program + settle caches. The
-    # measured run uses a DIFFERENT seed so no execution replays the warmup
-    # (this stack caches identical executions).
-    run(2, seed=1)
-
+    run_batched(2, seed=1)  # compile + settle (execution replays are cached)
     t0 = time.perf_counter()
-    n_tokens = run(N_BARS, seed=2)
+    n_tokens = run_batched(N_BARS, seed=2)
     dt = time.perf_counter() - t0
+    batched_tok_s = n_tokens / dt
 
-    tok_per_sec = n_tokens / dt
+    # ---- single-stream latency path (streaming engine, whole song) ------
+    s_engine = StreamingGenerationEngine(
+        config, bar_bos_id=BOS, bar_eos_id=EOS,
+        max_bar_token_limit=MAX_BAR_TOKENS,
+        x_len_buckets=(64,), bars_bucket=SINGLE_N_BARS,
+    )
+    sx_bars, s_attrs = make_song(SINGLE_N_BARS)
+    s_engine.generate(params, sx_bars[:2], s_attrs[:2],
+                      temperature=0.8, seed=1)  # compile warmup
+    t0 = time.perf_counter()
+    out = s_engine.generate(params, sx_bars, s_attrs, temperature=0.8, seed=3)
+    dt_s = time.perf_counter() - t0
+    n_single = sum(len(bar) for bar in out)
+    single_tok_s = n_single / dt_s
+
     print(json.dumps({
         "metric": "decoder_tokens_per_sec",
-        "value": round(tok_per_sec, 2),
+        "value": round(batched_tok_s, 2),
         "unit": "tokens/s",
-        "vs_baseline": round(tok_per_sec / REF_TOKENS_PER_SEC, 3),
+        "vs_baseline": round(batched_tok_s / REF_TOKENS_PER_SEC, 3),
+        "single_stream_tok_s": round(single_tok_s, 2),
+        "single_stream_tokens": int(n_single),
+        "batched_streams": BATCH,
+        "weights": weights,
     }))
 
 

@@ -21,7 +21,7 @@ TPU-first design:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -291,6 +291,7 @@ def loss_fn(
     batch: Dict[str, jnp.ndarray],
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    pos_weights: Optional[Dict[str, float]] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """hFT training objective: binary cross-entropy on the onset/offset/MPE
     heads plus cross-entropy on the 128-way velocity classifier, summed over
@@ -299,20 +300,27 @@ def loss_fn(
 
     batch: spec [B, n_bin, margin+T+margin]; targets onset/offset/mpe
     [B, T, n_note] in [0,1]; velocity [B, T, n_note] int labels.
+
+    pos_weights: optional positive-class BCE weights per head ("onset",
+    "offset", "mpe"). Onset targets are ~0.05% positive; on small corpora /
+    short runs, unweighted BCE collapses to the all-zeros solution before
+    any onset signal emerges. Default None = reference (unweighted) loss.
     """
     out = forward(params, config, batch["spec"], compute_dtype, remat=remat)
+    pos_weights = pos_weights or {}
 
-    def bce(pred, target):
+    def bce(pred, target, pos_w=1.0):
         pred = jnp.clip(pred, 1e-7, 1 - 1e-7)
         return -jnp.mean(
-            target * jnp.log(pred) + (1 - target) * jnp.log(1 - pred)
+            pos_w * target * jnp.log(pred) + (1 - target) * jnp.log(1 - pred)
         )
 
     loss = 0.0
     metrics: Dict[str, jnp.ndarray] = {}
     for branch in ("freq", "time"):
         for head in ("onset", "offset", "mpe"):
-            l = bce(out[f"{head}_{branch}"], batch[head])
+            l = bce(out[f"{head}_{branch}"], batch[head],
+                    pos_weights.get(head, 1.0))
             metrics[f"{head}_{branch}_bce"] = l
             loss = loss + l
         logits = out[f"velocity_{branch}"]

@@ -80,3 +80,58 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh,
     """Device-put a host batch with its leading dim sharded over the mesh."""
     sharding = batch_sharding(mesh, data_axis)
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+# ------------------------------------------------------------- multi-host
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Join a multi-host (DCN) JAX cluster; returns True when distributed.
+
+    On TPU pods the arguments come from the environment and
+    `jax.distributed.initialize()` autodetects everything; pass them
+    explicitly for CPU/GPU clusters or tests. Call before first backend use.
+    After initialization `jax.devices()` is the GLOBAL device list, so
+    make_mesh() builds a DCN-spanning mesh with no further changes — lay
+    the data axis across hosts and keep model axes inside a host so
+    parameter collectives ride ICI, not DCN.
+    """
+    if num_processes is not None and num_processes <= 1:
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as exc:
+        # Already initialized (idempotent callers) — keep going.
+        if "already" not in str(exc).lower():
+            raise
+    logger.info(
+        f"multi-host: process {jax.process_index()}/{jax.process_count()}, "
+        f"{jax.local_device_count()} local of {jax.device_count()} devices"
+    )
+    return jax.process_count() > 1
+
+
+def make_global_batch(
+    batch: Dict[str, np.ndarray], mesh: Mesh, data_axis: str = "data",
+    accum: bool = False,
+) -> Dict[str, jax.Array]:
+    """Assemble a globally-sharded batch from THIS process's local shard.
+
+    Each process passes only its local rows (global_batch / process_count);
+    jax.make_array_from_process_local_data stitches the global Array without
+    any cross-host data movement. Single-process: plain sharded device_put.
+    """
+    spec = P(None, data_axis) if accum else P(data_axis)
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in batch.items()
+    }

@@ -63,15 +63,23 @@ class DevicePrefetcher:
 
 def prefetch_to_mesh(batch_iter, mesh, accum_steps: int, data_axis: str = "data"):
     """Prefetcher that reshapes [B, T] host batches into [accum, B/accum, T]
-    and places them with the train step's expected sharding."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    and places them with the train step's expected sharding.
 
+    Multi-host: each process's iterator yields its PROCESS-LOCAL rows
+    (global_batch / process_count); the global sharded Array is assembled
+    without cross-host data movement (parallel.mesh.make_global_batch)."""
+    from .mesh import make_global_batch
     from .train_step import reshape_for_accum
-
-    sharding = NamedSharding(mesh, P(None, data_axis))
 
     def place(batch):
         batch = reshape_for_accum(batch, accum_steps)
-        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            # Every process iterates the dataset in the same (seeded) order;
+            # each keeps only its slice of the micro-batch rows.
+            pid = jax.process_index()
+            per = next(iter(batch.values())).shape[1] // n_proc
+            batch = {k: v[:, pid * per:(pid + 1) * per] for k, v in batch.items()}
+        return make_global_batch(batch, mesh, data_axis, accum=True)
 
     return DevicePrefetcher(batch_iter, place=place)

@@ -201,8 +201,13 @@ def run_amt(args):
         batch["spec"] = np.stack(specs)
         return batch
 
+    # Onset/offset targets are ~0.05% positive: weight the positive class
+    # so the heads escape the all-zeros solution within a short run.
+    pos_weights = {"onset": 120.0, "offset": 120.0, "mpe": 3.0}
+
     def loss(p, batch):
-        return amt.loss_fn(p, config, batch, remat=True)
+        return amt.loss_fn(p, config, batch, remat=True,
+                           pos_weights=pos_weights)
 
     params, stats = train_loop("amt", params, loss, gen, args.steps, args.lr)
 
