@@ -26,6 +26,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 # Per-head offset shifts (in strides): 4 symmetric + skewed {-2,-1,+1,+2}.
 HEAD_SHIFTS = (0, 0, 0, 0, -2, -1, 1, 2)
@@ -97,93 +98,103 @@ def dilated_attention(
 
 
 # ------------------------------------------------------------------ pallas
-def _dilated_kernel(q_ref, k_ref, v_ref, er_ref, out_ref, *, offsets_np,
-                    dilation, block_t, pad, n_heads, attn_len, d, T):
-    """One (batch*head, T-block) program: shifted-slice attention in VMEM.
+def _dilated_kernel(q_ref, k_ref, v_ref, er_ref, sel_ref, out_ref, *,
+                    dilation, block_t, pad, n_heads, attn_len, n_union,
+                    d, T):
+    """One (T-block, batch) program: all heads in VMEM, no control flow.
 
-    q block: [block_t, d]; k/v: padded full sequences [T + 2*pad, d] for this
-    (batch, head); er: [d, attn_len] for this head.
+    Per-head slot offsets are handled WITHOUT branching: scores/values are
+    computed for the UNION of shifted key rows (9 static shifts at stride
+    `dilation` for the 4-symmetric + {-2,-1,+1,+2}-skewed head family), then
+    each head picks its attn_len slots through a static 0/1 selection tensor
+    — dense matmuls and elementwise ops only, the shapes XLA:TPU-Pallas
+    tiles well. Block shapes: q [H, block_t, d]; k/v [H, T+2*pad, d];
+    er [H, d, attn_len]; sel [H, n_union, attn_len].
     """
     import jax.lax as lax
-    from jax.experimental import pallas as pl
 
-    h = pl.program_id(1) % n_heads
     tb = pl.program_id(0)
     t0 = tb * block_t
 
-    q = q_ref[...]  # [block_t, d]
-    er = er_ref[...]  # [d, attn_len]
+    q = q_ref[...].astype(jnp.float32)      # [H, bt, d]
+    er = er_ref[...].astype(jnp.float32)    # [H, d, A]
+    sel = sel_ref[...].astype(jnp.float32)  # [H, U, A]
 
-    row_pos = t0 + lax.broadcasted_iota(jnp.int32, (block_t, 1), 0)[:, 0]
+    half = n_union // 2
+    row_pos = t0 + lax.broadcasted_iota(jnp.int32, (block_t,), 0)
 
-    scores = []
-    vals = []
-    # offsets vary per head; head index is dynamic → branch over heads with
-    # lax.switch on precomputed per-head static offsets.
-    def make_head(h_static):
-        offs = [int(o) * dilation for o in offsets_np[h_static]]
+    s_rows, v_rows, ok_rows = [], [], []
+    for u in range(n_union):
+        off = (u - half) * dilation
+        k_u = k_ref[:, pl.dslice(pad + t0 + off, block_t), :].astype(jnp.float32)
+        v_u = v_ref[:, pl.dslice(pad + t0 + off, block_t), :].astype(jnp.float32)
+        s_rows.append(jnp.sum(q * k_u, axis=-1))          # [H, bt]
+        v_rows.append(v_u)                                # [H, bt, d]
+        key_pos = row_pos + off
+        ok_rows.append((key_pos >= 0) & (key_pos < T))    # [bt]
 
-        def compute(_):
-            s_list, v_list = [], []
-            for off in offs:
-                k_s = k_ref[pl.ds(pad + t0 + off, block_t), :]
-                v_s = v_ref[pl.ds(pad + t0 + off, block_t), :]
-                s = jnp.sum(q * k_s, axis=-1)  # [block_t]
-                key_pos = row_pos + off
-                ok = (key_pos >= 0) & (key_pos < T)
-                s_list.append(jnp.where(ok, s, -jnp.inf))
-                v_list.append(v_s)
-            return jnp.stack(s_list, axis=-1), jnp.stack(v_list, axis=1)
+    s_union = jnp.stack(s_rows, axis=-1)                  # [H, bt, U]
+    ok_union = jnp.stack(ok_rows, axis=-1)[None]          # [1, bt, U]
+    s_union = jnp.where(ok_union, s_union, -1e30)
 
-        return compute
+    # Static per-head slot selection: [H, bt, U] x [H, U, A] → [H, bt, A].
+    scores = jnp.einsum("hbu,hua->hba", s_union, sel)
+    # -inf propagation through the one-hot select: selected masked slots stay
+    # masked (sel rows are one-hot so the product keeps the -1e30).
+    rel = jnp.einsum("hbd,hda->hba", q, er)
+    logits = (scores + rel) / np.sqrt(d)
+    probs = jax.nn.softmax(logits, axis=-1)               # [H, bt, A]
 
-    scores, vals = lax.switch(h, [make_head(i) for i in range(n_heads)], None)
-    rel = q.astype(jnp.float32) @ er.astype(jnp.float32)  # [block_t, attn_len]
-    logits = (scores.astype(jnp.float32) + rel) / np.sqrt(d)
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.sum(probs[..., None] * vals.astype(jnp.float32), axis=1)
+    v_union = jnp.stack(v_rows, axis=2)                   # [H, bt, U, d]
+    probs_u = jnp.einsum("hba,hua->hbu", probs, sel)      # [H, bt, U]
+    out = jnp.einsum("hbu,hbud->hbd", probs_u, v_union)
     out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _selection_tensor(offsets: np.ndarray, dilation: int) -> Tuple[np.ndarray, int]:
+    """One-hot [H, U, A] mapping union shift rows to per-head slots."""
+    H, A = offsets.shape
+    half = int(np.abs(offsets).max())
+    U = 2 * half + 1
+    sel = np.zeros((H, U, A), np.float32)
+    for h in range(H):
+        for a in range(A):
+            sel[h, offsets[h, a] + half, a] = 1.0
+    return sel, U
 
 
 @functools.partial(jax.jit, static_argnames=("dilation",))
 def dilated_attention_pallas(q, k, v, er, dilation: int):
     """Pallas backend: same semantics as dilated_attention."""
-    from jax.experimental import pallas as pl
-
     B, H, T, d = q.shape
     attn_len = er.shape[-1]
     offsets = head_offsets(H, attn_len)
-    pad = int(np.abs(offsets).max()) * dilation
+    sel, n_union = _selection_tensor(offsets, dilation)
+    pad = (n_union // 2) * dilation
     block_t = min(512, T)
     if T % block_t:
         block_t = T  # fall back to one block when T is not divisible
 
-    qf = q.reshape(B * H, T, d)
-    k_pad = jnp.pad(k, ((0, 0), (0, 0), (pad, pad), (0, 0))).reshape(
-        B * H, T + 2 * pad, d
-    )
-    v_pad = jnp.pad(v, ((0, 0), (0, 0), (pad, pad), (0, 0))).reshape(
-        B * H, T + 2 * pad, d
-    )
-    er_full = jnp.broadcast_to(er[None], (B, H, d, attn_len)).reshape(
-        B * H, d, attn_len
-    )
+    k_pad = jnp.pad(k, ((0, 0), (0, 0), (pad, pad), (0, 0)))
+    v_pad = jnp.pad(v, ((0, 0), (0, 0), (pad, pad), (0, 0)))
+    sel_j = jnp.asarray(sel)
 
     kernel = functools.partial(
-        _dilated_kernel, offsets_np=offsets, dilation=dilation,
-        block_t=block_t, pad=pad, n_heads=H, attn_len=attn_len, d=d, T=T,
+        _dilated_kernel, dilation=dilation, block_t=block_t, pad=pad,
+        n_heads=H, attn_len=attn_len, n_union=n_union, d=d, T=T,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(T // block_t, B * H),
+        grid=(T // block_t, B),
         in_specs=[
-            pl.BlockSpec((None, block_t, d), lambda tb, bh: (bh, tb, 0)),
-            pl.BlockSpec((None, T + 2 * pad, d), lambda tb, bh: (bh, 0, 0)),
-            pl.BlockSpec((None, T + 2 * pad, d), lambda tb, bh: (bh, 0, 0)),
-            pl.BlockSpec((None, d, attn_len), lambda tb, bh: (bh, 0, 0)),
+            pl.BlockSpec((None, H, block_t, d), lambda tb, b: (b, 0, tb, 0)),
+            pl.BlockSpec((None, H, T + 2 * pad, d), lambda tb, b: (b, 0, 0, 0)),
+            pl.BlockSpec((None, H, T + 2 * pad, d), lambda tb, b: (b, 0, 0, 0)),
+            pl.BlockSpec((H, d, attn_len), lambda tb, b: (0, 0, 0)),
+            pl.BlockSpec((H, sel.shape[1], attn_len), lambda tb, b: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, block_t, d), lambda tb, bh: (bh, tb, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, T, d), q.dtype),
+        out_specs=pl.BlockSpec((None, H, block_t, d), lambda tb, b: (b, 0, tb, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, T, d), q.dtype),
         interpret=jax.default_backend() == "cpu",
-    )(qf, k_pad, v_pad, er_full)
-    return out.reshape(B, H, T, d)
+    )(q, k_pad, v_pad, er, sel_j)
+    return out

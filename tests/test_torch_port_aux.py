@@ -25,7 +25,9 @@ pytestmark = pytest.mark.skipif(
 torch = pytest.importorskip("torch")
 
 if str(REFERENCE) not in sys.path:
-    sys.path.insert(0, str(REFERENCE))
+    # APPEND (not insert) so the reference tree's top-level evaluate.py /
+    # prepare.py never shadow this repo's CLI modules for other tests.
+    sys.path.append(str(REFERENCE))
 
 
 @pytest.fixture(scope="module")
