@@ -328,7 +328,16 @@ def loss_fn(
         vel_ll = jnp.take_along_axis(
             logp, batch["velocity"][..., None], axis=-1
         )[..., 0]
-        l = -jnp.mean(vel_ll)
+        # ~97% of velocity cells are class 0 (silence); without weighting
+        # the head argmaxes to 0 everywhere and the peak picker's
+        # ignore_zero policy (reference _mpe2note semantics) then drops
+        # every note. "velocity" in pos_weights up-weights sounding cells.
+        vw = pos_weights.get("velocity", 1.0)
+        if vw != 1.0:
+            w = jnp.where(batch["velocity"] > 0, vw, 1.0)
+            l = -(vel_ll * w).sum() / w.sum()
+        else:
+            l = -jnp.mean(vel_ll)
         metrics[f"velocity_{branch}_ce"] = l
         loss = loss + l
     metrics["loss"] = loss

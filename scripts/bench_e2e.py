@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""North-star benchmark: full audio→MIDI of a 4-minute song on one chip.
+
+Renders a real corpus MIDI (docs/songs human performance) to a 4-minute
+44.1 kHz piano WAV with the in-repo additive synth, then runs the ACTUAL
+infer.py pipeline (trained checkpoints, concurrent Extract/Structuralize,
+streaming decoder) twice — cold (jit compiles) and warm (steady state).
+Target: warm < 10 s (BASELINE.md).
+
+Usage: python scripts/bench_e2e.py [--seconds 240] [--song CPOP01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def render_song(out_path: Path, seconds: float, song: str) -> int:
+    from etude_tpu.data.synthetic import render_piano, synth_piano_notes
+    from etude_tpu.utils.audio import save_wav
+    from etude_tpu.utils.midi import read_midi_notes
+
+    midi = Path("/root/reference/docs/songs") / song / "human.mid"
+    if midi.exists():
+        notes = [n for n in read_midi_notes(midi) if n["onset"] < seconds - 2]
+    else:
+        notes = synth_piano_notes(np.random.default_rng(0), seconds - 2)
+    wave = render_piano(notes, seconds, sr=44100)
+    save_wav(out_path, wave, 44100)
+    return len(notes)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--seconds", type=float, default=240.0)
+    parser.add_argument("--song", default="CPOP01")
+    parser.add_argument("--work", default="/tmp/etude_e2e")
+    parser.add_argument("--engine", default="stream",
+                        choices=["stream", "rebuild"])
+    args = parser.parse_args(argv)
+
+    work = Path(args.work)
+    if work.exists():
+        shutil.rmtree(work)
+    work.mkdir(parents=True)
+
+    t0 = time.perf_counter()
+    n_notes = render_song(work / "song.wav", args.seconds, args.song)
+    print(f"rendered {args.song}: {n_notes} notes, "
+          f"{args.seconds:.0f}s ({time.perf_counter() - t0:.1f}s)")
+
+    from etude_tpu.config import load_config
+    from infer import InferencePipeline
+
+    cfg = load_config(None, overrides={
+        "paths": {
+            "infer_output_dir": str(work / "out"),
+            "extractor_model": str(REPO / "checkpoints/extractor/latest.ckpt"),
+            "beat_detector_model": str(
+                REPO / "checkpoints/beat_detector/latest.ckpt"),
+            "separator_model": str(REPO / "checkpoints/separator/latest.ckpt"),
+            "decoder_model": str(REPO / "checkpoints/decoder/latest.ckpt"),
+            "decoder_config": str(
+                REPO / "checkpoints/decoder/etude_decoder_config.json"),
+            "decoder_vocab": str(REPO / "checkpoints/decoder/vocab.json"),
+        },
+        "decoder": {"temperature": 0.0},
+    })
+    attrs = {"polyphony_bin": 1, "rhythm_intensity_bin": 1,
+             "sustain_bin": 1, "pitch_overlap_bin": 2}
+
+    results = {}
+    for label in ("cold", "warm"):
+        pipeline = InferencePipeline(cfg, allow_random_weights=True,
+                                     engine_kind=args.engine)
+        t0 = time.perf_counter()
+        pipeline.run(str(work / "song.wav"), attrs,
+                     final_filename=f"bench_{label}")
+        dt = time.perf_counter() - t0
+        results[label] = {
+            "seconds": round(dt, 2),
+            "stages": {k: round(v, 2)
+                       for k, v in pipeline.timer.summary().items()},
+        }
+        print(f"[{label}] end-to-end {dt:.2f}s")
+
+    results["target_seconds"] = 10.0
+    results["song_seconds"] = args.seconds
+    results["engine"] = args.engine
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

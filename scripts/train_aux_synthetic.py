@@ -203,7 +203,8 @@ def run_amt(args):
 
     # Onset/offset targets are ~0.05% positive: weight the positive class
     # so the heads escape the all-zeros solution within a short run.
-    pos_weights = {"onset": 120.0, "offset": 120.0, "mpe": 3.0}
+    pos_weights = {"onset": 120.0, "offset": 120.0, "mpe": 3.0,
+                   "velocity": 60.0}
 
     def loss(p, batch):
         return amt.loss_fn(p, config, batch, remat=True,
@@ -252,7 +253,14 @@ def run_separator(args):
     T = args.sep_frames
 
     def gen(_i):
-        return syn.separation_batch(rng, args.batch, T=T)
+        batch = syn.separation_batch(rng, args.batch, T=T)
+        # Per-example loudness normalization: the L1 objective otherwise
+        # weights loud mixes more and the mask head chases overall scale.
+        rms = np.sqrt((batch["mix_mag"] ** 2).mean(axis=(1, 2), keepdims=True))
+        rms = np.maximum(rms, 1e-6)
+        batch["mix_mag"] /= rms
+        batch["stem_mags"] /= rms[:, None]
+        return batch
 
     def loss(p, batch):
         return sep.loss_fn(p, config, batch)
@@ -266,6 +274,8 @@ def run_separator(args):
     sdrs, base_sdrs = [], []
     for _ in range(args.eval_clips):
         ex = syn.synth_separation_example(eval_rng, T=T)
+        rms = max(float(np.sqrt((ex["mix_mag"] ** 2).mean())), 1e-6)
+        ex = {k: v / rms for k, v in ex.items()}
         masks = np.asarray(fwd(params, ex["mix_mag"][None])[0], np.float32)
         est = masks * ex["mix_mag"][None]
         sdrs.append(stem_sdr(est, ex["stem_mags"]).mean())
