@@ -304,12 +304,21 @@ def loss_fn(
     pos_weights: optional positive-class BCE weights per head ("onset",
     "offset", "mpe"). Onset targets are ~0.05% positive; on small corpora /
     short runs, unweighted BCE collapses to the all-zeros solution before
-    any onset signal emerges. Default None = reference (unweighted) loss.
+    any onset signal emerges. Values may be Python floats or traced scalars
+    (annealing schedules pass them through the batch) — a weight that ends
+    at 1.0 leaves the final model CALIBRATED for the reference's 0.5
+    peak-picking threshold. Default None = reference (unweighted) loss.
+
+    "velocity" / "velocity_silent" weight the velocity CE at sounding vs
+    silent cells. velocity_silent=0 confines the CE to sounding cells: the
+    argmax at onset peaks (the only cells the picker reads,
+    ops/peakpick.py:145) then carries a real velocity instead of the
+    majority silence class, which the ignore_zero policy would drop.
     """
     out = forward(params, config, batch["spec"], compute_dtype, remat=remat)
     pos_weights = pos_weights or {}
 
-    def bce(pred, target, pos_w=1.0):
+    def bce(pred, target, pos_w):
         pred = jnp.clip(pred, 1e-7, 1 - 1e-7)
         return -jnp.mean(
             pos_w * target * jnp.log(pred) + (1 - target) * jnp.log(1 - pred)
@@ -328,16 +337,10 @@ def loss_fn(
         vel_ll = jnp.take_along_axis(
             logp, batch["velocity"][..., None], axis=-1
         )[..., 0]
-        # ~97% of velocity cells are class 0 (silence); without weighting
-        # the head argmaxes to 0 everywhere and the peak picker's
-        # ignore_zero policy (reference _mpe2note semantics) then drops
-        # every note. "velocity" in pos_weights up-weights sounding cells.
         vw = pos_weights.get("velocity", 1.0)
-        if vw != 1.0:
-            w = jnp.where(batch["velocity"] > 0, vw, 1.0)
-            l = -(vel_ll * w).sum() / w.sum()
-        else:
-            l = -jnp.mean(vel_ll)
+        sw = pos_weights.get("velocity_silent", 1.0)
+        w = jnp.where(batch["velocity"] > 0, vw, sw)
+        l = -(vel_ll * w).sum() / jnp.maximum(w.sum(), 1e-6)
         metrics[f"velocity_{branch}_ce"] = l
         loss = loss + l
     metrics["loss"] = loss

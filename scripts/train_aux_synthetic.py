@@ -190,7 +190,25 @@ def run_amt(args):
         targets = syn.amt_targets(notes, config.n_frame, fps=fps)
         return spec, targets, notes
 
-    def gen(_i):
+    # Onset/offset targets are ~0.05% positive: weight the positive class so
+    # the heads escape the all-zeros solution, then ANNEAL the weight to 1.0
+    # (linear over the first 70% of steps) so the FINAL model is calibrated
+    # for the reference's 0.5 peak-picking threshold — a model trained at
+    # constant weight w fires at p_w = w·p/(w·p+1−p) and floods the picker.
+    # Velocity CE is confined to sounding cells (silent weight 0): the picker
+    # reads velocity only at onset peaks, and the majority silence class
+    # would otherwise win the argmax and ignore_zero would drop every note.
+    anneal_frac = 0.7
+
+    def weights_at(i):
+        t = min(i / max(args.steps * anneal_frac, 1), 1.0)
+        return {
+            "onset": np.float32(1.0 + (120.0 - 1.0) * (1.0 - t)),
+            "offset": np.float32(1.0 + (120.0 - 1.0) * (1.0 - t)),
+            "mpe": np.float32(1.0 + (3.0 - 1.0) * (1.0 - t)),
+        }
+
+    def gen(i):
         specs, tg = [], {"onset": [], "offset": [], "mpe": [], "velocity": []}
         for _ in range(args.batch):
             spec, targets, _notes = make_example(rng)
@@ -199,14 +217,12 @@ def run_amt(args):
                 tg[k].append(targets[k])
         batch = {k: np.stack(v) for k, v in tg.items()}
         batch["spec"] = np.stack(specs)
+        batch["pos_w"] = weights_at(i)
         return batch
 
-    # Onset/offset targets are ~0.05% positive: weight the positive class
-    # so the heads escape the all-zeros solution within a short run.
-    pos_weights = {"onset": 120.0, "offset": 120.0, "mpe": 3.0,
-                   "velocity": 60.0}
-
     def loss(p, batch):
+        pos_weights = dict(batch["pos_w"])
+        pos_weights.update({"velocity": 1.0, "velocity_silent": 0.0})
         return amt.loss_fn(p, config, batch, remat=True,
                            pos_weights=pos_weights)
 
