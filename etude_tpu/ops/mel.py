@@ -209,6 +209,43 @@ def log_mel_spectrogram(
     return out[:true_frames]
 
 
+def log_mel_spectrogram_host(
+    wave: np.ndarray,
+    *,
+    sr: int = 16000,
+    n_fft: int = 2048,
+    hop: int = 256,
+    win_length: int = 2048,
+    n_mels: int = 256,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    log_offset: float = 1e-8,
+    center: bool = True,
+) -> np.ndarray:
+    """Pure-numpy log-mel with identical semantics to log_mel_spectrogram.
+
+    For host-side data generation (training batch pipelines): computing the
+    mel of every synthetic example on the accelerator would serialize the
+    prefetch thread on device round trips — on a remote-tunneled chip each
+    one costs ~100 ms, dominating the train step itself.
+    """
+    wave_np = np.asarray(wave, np.float32)
+    if center:
+        wave_np = reflect_pad_host(wave_np, n_fft // 2)
+    n_frames = 1 + max(len(wave_np) - n_fft, 0) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = wave_np[idx]
+
+    window = _hann_window(win_length)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = np.pad(window, (lpad, n_fft - win_length - lpad))
+    spec = np.fft.rfft(frames * window[None, :], axis=-1)
+    power = (spec.real ** 2 + spec.imag ** 2).astype(np.float32)
+    fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+    return np.log(power @ fb + log_offset)
+
+
 def wav_to_logmel(wave: np.ndarray, feature_cfg) -> np.ndarray:
     """Convenience wrapper using an ExtractorFeatureConfig."""
     out = log_mel_spectrogram(

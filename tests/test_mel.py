@@ -58,3 +58,22 @@ def test_logmel_silence_is_log_offset():
     wave = np.zeros(4096, np.float32)
     out = np.asarray(log_mel_spectrogram(jnp.asarray(wave), log_offset=1e-8))
     np.testing.assert_allclose(out, np.log(1e-8), rtol=1e-5)
+
+
+def test_host_mel_matches_device_mel():
+    """log_mel_spectrogram_host (numpy, for host-side data generation) must
+    agree with the on-device program bin for bin."""
+    from etude_tpu.ops.mel import log_mel_spectrogram_host
+
+    rng = np.random.default_rng(0)
+    wave = rng.normal(0, 0.2, 16000 * 2 + 123).astype(np.float32)
+    dev = np.asarray(log_mel_spectrogram(
+        jnp.asarray(wave), sr=16000, n_fft=2048, hop=256,
+        win_length=2048, n_mels=256, log_offset=1e-8,
+    ))
+    host = log_mel_spectrogram_host(
+        wave, sr=16000, n_fft=2048, hop=256,
+        win_length=2048, n_mels=256, log_offset=1e-8,
+    )
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(dev, host, atol=1e-3)
