@@ -292,6 +292,7 @@ def loss_fn(
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
     pos_weights: Optional[Dict[str, float]] = None,
+    head_scales: Optional[Dict[str, float]] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """hFT training objective: binary cross-entropy on the onset/offset/MPE
     heads plus cross-entropy on the 128-way velocity classifier, summed over
@@ -314,9 +315,17 @@ def loss_fn(
     argmax at onset peaks (the only cells the picker reads,
     ops/peakpick.py:145) then carries a real velocity instead of the
     majority silence class, which the ignore_zero policy would drop.
+
+    head_scales: per-head multipliers on the LOSS TERMS (both classes —
+    unlike pos_weights this preserves each head's calibrated optimum while
+    changing its gradient share on the shared trunk). The velocity CE's
+    natural scale (~ln 128 per branch) otherwise out-weighs a converged
+    onset BCE (~0.02) by 2-3 orders of magnitude, and the trunk learns
+    sustained-note features instead of onset transients.
     """
     out = forward(params, config, batch["spec"], compute_dtype, remat=remat)
     pos_weights = pos_weights or {}
+    head_scales = head_scales or {}
 
     def bce(pred, target, pos_w):
         pred = jnp.clip(pred, 1e-7, 1 - 1e-7)
@@ -331,7 +340,7 @@ def loss_fn(
             l = bce(out[f"{head}_{branch}"], batch[head],
                     pos_weights.get(head, 1.0))
             metrics[f"{head}_{branch}_bce"] = l
-            loss = loss + l
+            loss = loss + head_scales.get(head, 1.0) * l
         logits = out[f"velocity_{branch}"]
         logp = jax.nn.log_softmax(logits, axis=-1)
         vel_ll = jnp.take_along_axis(
@@ -342,6 +351,6 @@ def loss_fn(
         w = jnp.where(batch["velocity"] > 0, vw, sw)
         l = -(vel_ll * w).sum() / jnp.maximum(w.sum(), 1e-6)
         metrics[f"velocity_{branch}_ce"] = l
-        loss = loss + l
+        loss = loss + head_scales.get("velocity", 1.0) * l
     metrics["loss"] = loss
     return loss, metrics

@@ -179,6 +179,11 @@ def run_amt(args):
 
     config = amt.AMTConfig()  # inference shape: n_frame 512, margins 32
     params = amt.init_params(config, seed=args.seed)
+    if getattr(args, "init_from", None):
+        from etude_tpu.utils.training import load_params_only
+
+        params = load_params_only(args.init_from, params)
+        logger.info(f"warm start from {args.init_from}")
     logger.info(f"amt model: {amt.param_count(params) / 1e6:.2f}M params")
     rng = np.random.default_rng(args.seed)
 
@@ -205,13 +210,16 @@ def run_amt(args):
     # reads velocity only at onset peaks, and the majority silence class
     # would otherwise win the argmax and ignore_zero would drop every note.
     anneal_frac = 0.3
+    # Warm starts are already past the all-zeros phase: stay calibrated.
+    w0_onset, w0_mpe = (1.0, 1.0) if getattr(args, "init_from", None) \
+        else (120.0, 3.0)
 
     def weights_at(i):
         t = min(i / max(args.steps * anneal_frac, 1), 1.0)
         return {
-            "onset": np.float32(1.0 + (120.0 - 1.0) * (1.0 - t)),
-            "offset": np.float32(1.0 + (120.0 - 1.0) * (1.0 - t)),
-            "mpe": np.float32(1.0 + (3.0 - 1.0) * (1.0 - t)),
+            "onset": np.float32(1.0 + (w0_onset - 1.0) * (1.0 - t)),
+            "offset": np.float32(1.0 + (w0_onset - 1.0) * (1.0 - t)),
+            "mpe": np.float32(1.0 + (w0_mpe - 1.0) * (1.0 - t)),
         }
 
     def gen(i):
@@ -226,11 +234,18 @@ def run_amt(args):
         batch["pos_w"] = weights_at(i)
         return batch
 
+    # Gradient balance on the shared trunk: the velocity CE's natural scale
+    # (~ln 128 per branch) starves the onset/offset heads once their BCEs
+    # converge toward ~1e-2 — the trunk then learns sustained-note features
+    # and the onset activation smears instead of peaking. Scaling terms
+    # (BOTH classes) keeps every head calibrated while fixing the balance.
+    head_scales = {"onset": 5.0, "offset": 5.0, "mpe": 1.0, "velocity": 0.1}
+
     def loss(p, batch):
         pos_weights = dict(batch["pos_w"])
         pos_weights.update({"velocity": 1.0, "velocity_silent": 0.0})
         return amt.loss_fn(p, config, batch, remat=True,
-                           pos_weights=pos_weights)
+                           pos_weights=pos_weights, head_scales=head_scales)
 
     params, stats = train_loop("amt", params, loss, gen, args.steps, args.lr)
 
@@ -328,6 +343,8 @@ def main(argv=None) -> int:
     parser.add_argument("--eval-clips", type=int, default=8)
     parser.add_argument("--beat-frames", type=int, default=512)
     parser.add_argument("--sep-frames", type=int, default=256)
+    parser.add_argument("--init-from", type=str, default=None,
+                        help="warm-start params checkpoint (amt)")
     args = parser.parse_args(argv)
 
     defaults = {"beat": (8, 5e-4), "amt": (4, 4e-4), "separator": (4, 1e-3)}
