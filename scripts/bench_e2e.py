@@ -94,9 +94,28 @@ def main(argv=None) -> int:
         }
         print(f"[{label}] end-to-end {dt:.2f}s")
 
+    # Fidelity: extract-stage onset F1 against the known rendered notes
+    # (BASELINE.md tracked metric "onset F1").
+    extract_json = work / "out" / "temp" / "extract.json"
+    if extract_json.exists():
+        from etude_tpu.evaluation.metrics.onset_f1 import onset_f1
+        from etude_tpu.utils.midi import read_midi_notes
+
+        ref_midi = Path("/root/reference/docs/songs") / args.song / "human.mid"
+        if ref_midi.exists():
+            ref_notes = [n for n in read_midi_notes(ref_midi)
+                         if n["onset"] < args.seconds - 2]
+            est_notes = json.loads(extract_json.read_text())
+            results["extract_onset_f1"] = round(
+                onset_f1(ref_notes, est_notes)["f1"], 4
+            )
+
     results["target_seconds"] = 10.0
     results["song_seconds"] = args.seconds
     results["engine"] = args.engine
+    results["songs_per_min_per_chip"] = round(
+        60.0 / results["warm"]["seconds"], 3
+    )
     print(json.dumps(results))
     return 0
 
