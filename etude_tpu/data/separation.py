@@ -51,7 +51,8 @@ def _power_to_db_jit(mel_power, true_frames_mask):
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _separate_mel_jit(params, config: SeparatorConfig, wave, cos_m, sin_m, fb):
+def _separate_mel_jit(params, config: SeparatorConfig, wave, true_frames,
+                      cos_m, sin_m, fb):
     """wave [N] (host reflect-padded) → per-stem mel power [stems, T, 128]."""
     n_frames = 1 + (wave.shape[0] - SEP_N_FFT) // SEP_HOP
     idx = jnp.arange(SEP_N_FFT)[None, :] + SEP_HOP * jnp.arange(n_frames)[:, None]
@@ -65,7 +66,18 @@ def _separate_mel_jit(params, config: SeparatorConfig, wave, cos_m, sin_m, fb):
     power_spec = frame_power_spectrum(frames * window[None, :], cos_m, sin_m)
     mag = jnp.sqrt(jnp.maximum(power_spec, 0.0))  # [T, F]
 
-    masks = forward(params, config, jnp.log1p(mag)[None])[0]  # [S, T, F]
+    # The mask net is trained on RMS-normalized log1p magnitudes
+    # (scripts/train_aux_synthetic.py); serving must match. RMS is taken
+    # over the true (un-padded) frames only; the masks then apply to the
+    # UN-normalized magnitudes (ratio masks are scale-free).
+    frame_ok = (jnp.arange(n_frames) < true_frames)[:, None]
+    rms = jnp.sqrt(
+        jnp.sum(jnp.where(frame_ok, mag, 0.0) ** 2)
+        / jnp.maximum(jnp.sum(frame_ok) * mag.shape[1], 1)
+    )
+    mag_in = mag / jnp.maximum(rms, 1e-6)
+
+    masks = forward(params, config, jnp.log1p(mag_in)[None])[0]  # [S, T, F]
     stem_power = (masks * mag[None]) ** 2
     return jnp.einsum("stf,fm->stm", stem_power, fb)
 
@@ -78,11 +90,15 @@ def _sep_fb_device():
     ))
 
 
-def _separate_mel(params, config: SeparatorConfig, wave: jnp.ndarray):
+def _separate_mel(params, config: SeparatorConfig, wave: jnp.ndarray,
+                  true_frames: int):
     from ..ops.mel import dft_matrices
 
     cos_m, sin_m = dft_matrices(SEP_N_FFT)
-    return _separate_mel_jit(params, config, wave, cos_m, sin_m, _sep_fb_device())
+    return _separate_mel_jit(
+        params, config, wave, jnp.int32(true_frames), cos_m, sin_m,
+        _sep_fb_device(),
+    )
 
 
 def power_to_db(S: np.ndarray, top_db: float = 80.0, amin: float = 1e-10) -> np.ndarray:
@@ -142,7 +158,8 @@ class SourceSeparator:
         padded = np.pad(padded, (0, max(0, target_len - len(padded))))[:target_len]
 
         mel_power = _separate_mel(
-            self.params, self.config, jnp.asarray(padded, jnp.float32)
+            self.params, self.config, jnp.asarray(padded, jnp.float32),
+            true_frames,
         )
         mask = (jnp.arange(mel_power.shape[1]) < true_frames)
         features_dev = _power_to_db_jit(mel_power, mask)[:, :true_frames]

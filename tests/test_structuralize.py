@@ -37,6 +37,32 @@ def test_power_to_db_matches_librosa_semantics():
     assert db.min() >= -80.0  # top_db clamp
 
 
+def test_separator_mask_input_is_rms_normalized():
+    """The mask net must see RMS-normalized log1p magnitudes (training
+    parity, scripts/train_aux_synthetic.py). With normalization, scaling the
+    waveform by an exact power of two leaves the net input bit-identical, so
+    the per-stem mel POWER scales exactly by gain² (masks unchanged); an
+    unnormalized path changes the masks themselves and breaks the relation."""
+    from etude_tpu.data.separation import SEP_HOP, SEP_N_FFT, _separate_mel
+
+    rng = np.random.default_rng(1)
+    t = np.arange(44100) / 44100
+    wave = (0.2 * np.sin(2 * np.pi * 330 * t)
+            + 0.05 * rng.normal(size=len(t))).astype(np.float32)
+    n_frames = 1 + (len(wave) - SEP_N_FFT) // SEP_HOP
+
+    cfg = SeparatorConfig(base_channels=2, depth=2)
+    params = sep_init(cfg, seed=0)
+    mel_a = np.asarray(
+        _separate_mel(params, cfg, jnp.asarray(wave), n_frames), np.float64
+    )
+    mel_b = np.asarray(
+        _separate_mel(params, cfg, jnp.asarray(0.25 * wave), n_frames),
+        np.float64,
+    )
+    np.testing.assert_allclose(mel_a, mel_b * 16.0, rtol=1e-4, atol=1e-12)
+
+
 def test_source_separator_features_contract(tmp_path):
     sr = 44100
     t = np.arange(sr) / sr
