@@ -80,19 +80,40 @@ def synth_beat_example(
     wide_bins = np.arange(0, mel)
     hat_bins = np.arange(mel - 32, mel)
 
+    # 35% of clips are PERCUSSION-LESS (solo piano / acoustic): the grid
+    # lives in harmonic-stem chord onsets instead of drum hits. Without
+    # these the model learns "melodic onsets are distractors" and returns
+    # zero activations on drumless real music (e.g. piano covers).
+    drumless = rng.random() < 0.35
+
     for t, down in zip(beat_times, is_down):
         frame = int(round(t * fps))
-        # Drums (stem 4): wideband hit on every beat, stronger on downbeats.
-        lvl = -6.0 if down else -14.0
-        burst(4, frame, wide_bins, lvl + rng.uniform(-3, 3))
-        # Bass (stem 3): low-frequency pulse on the beat.
-        burst(3, frame, lo_bins, -10.0 + rng.uniform(-4, 4))
+        if not drumless:
+            # Drums (stem 4): wideband hit on every beat, stronger on
+            # downbeats; bass (stem 3): low-frequency pulse on the beat.
+            lvl = -6.0 if down else -14.0
+            burst(4, frame, wide_bins, lvl + rng.uniform(-3, 3))
+            burst(3, frame, lo_bins, -10.0 + rng.uniform(-4, 4))
+        # Beat-locked chord onsets on the melodic stems: always present in
+        # drumless clips, often present alongside drums (real-music comping).
+        if drumless or rng.random() < 0.5:
+            stem = int(rng.choice([1, 2])) if not drumless else 1
+            n_chord = int(rng.integers(2, 5))
+            lvl = (-8.0 if down else -16.0) + rng.uniform(-4, 4)
+            for _ in range(n_chord):
+                b0 = int(rng.integers(4, mel - 6))
+                burst(stem, frame, np.arange(b0, b0 + int(rng.integers(2, 5))),
+                      lvl + rng.uniform(-4, 0))
+            if drumless and rng.random() < 0.6:
+                # Low chord root standing in for the bass line.
+                burst(1, frame, lo_bins[:8], lvl - 4.0)
 
     # Off-beat hats on the drums stem (half-period offsets).
-    for t in beat_times:
-        frame = int(round((t + period / 2) * fps))
-        if rng.random() < 0.7:
-            burst(4, frame, hat_bins, -26.0 + rng.uniform(-4, 4))
+    if not drumless:
+        for t in beat_times:
+            frame = int(round((t + period / 2) * fps))
+            if rng.random() < 0.7:
+                burst(4, frame, hat_bins, -26.0 + rng.uniform(-4, 4))
 
     # Melodic stems (0 vocals / 1 piano / 2 other): sustained harmonic bands
     # and distractor onsets NOT locked to the grid.
