@@ -114,7 +114,7 @@ class ExtractorInferConfig(BaseModel):
     min_duration: float = 0.08
     # How many 512-frame segments to batch per device step (TPU batching of
     # the reference's serial per-segment loop).
-    segment_batch: int = 4
+    segment_batch: int = 8
 
 
 class ExtractorConfig(BaseModel):
@@ -159,7 +159,9 @@ class SeparatorConfig(BaseModel):
     mel_fmin: float = 30.0
     mel_fmax: float = 11000.0
     base_channels: int = 24
-    depth: int = 4
+    depth: int = 5
+    freq_bins: int = 1024
+    channel_cap: int = 192
 
 
 # ------------------------------------------------------------------------ hft

@@ -184,17 +184,20 @@ class AMTAPC_Extractor:
         )
 
         win_total = ic.margin_b + B * n_frame + ic.margin_f
-        chunks = []
+        # Dispatch ALL groups before fetching any result: converting group g
+        # to numpy inside the dispatch loop would block on its device→host
+        # transfer and serialize the remaining groups' compute behind it.
+        pending = []
         for g in range(n_groups):
             feat_window = jax.lax.dynamic_slice(
                 feat_padded, (g * B * n_frame, 0),
                 (win_total, feat_padded.shape[1]),
             )
-            out = _transcribe_group(
+            pending.append(_transcribe_group(
                 self.params, self.amt_config, feat_window,
                 branches=branches, batch=B,
-            )
-            chunks.append(jax.tree.map(np.asarray, out))
+            ))
+        chunks = [jax.tree.map(np.asarray, out) for out in pending]
 
         # f16/uint8 on the wire; widen on host (numpy f16 compute is slow).
         maps = {

@@ -113,8 +113,11 @@ def analyze_volume(
     n_frames = 1 + (len(padded) - frame) // hop if len(padded) >= frame else 0
     if n_frames <= 0:
         return np.zeros(0, np.float32)
-    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
-    rms = np.sqrt(np.mean(padded[idx] ** 2, axis=1))
+    # O(N) via a cumulative sum of squares (the [n_frames, frame] gather is
+    # a 10x-the-signal copy on long songs).
+    csum = np.concatenate(([0.0], np.cumsum(padded.astype(np.float64) ** 2)))
+    starts = hop * np.arange(n_frames)
+    rms = np.sqrt((csum[starts + frame] - csum[starts]) / frame)
     lo, hi = rms.min(), rms.max()
     if hi > lo:
         return ((rms - lo) / (hi - lo)).astype(np.float32)
