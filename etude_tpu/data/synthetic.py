@@ -37,6 +37,16 @@ SEP_F = SEP_N_FFT // 2 + 1
 
 
 # ===================================================================== beat
+def _power_to_db_np(S: np.ndarray, top_db: float = 80.0,
+                     amin: float = 1e-10) -> np.ndarray:
+    """librosa power_to_db(ref=max) — the serving feature normalization
+    (data/separation.py power_to_db)."""
+    ref = max(float(S.max()), amin)
+    log_spec = 10.0 * np.log10(np.maximum(amin, S))
+    log_spec -= 10.0 * np.log10(ref)
+    return np.maximum(log_spec, log_spec.max() - top_db)
+
+
 def synth_beat_example(
     rng: np.random.Generator,
     T: int = 512,
@@ -46,11 +56,23 @@ def synth_beat_example(
     min_bpm: float = 70.0,
     max_bpm: float = 250.0,
 ) -> Dict[str, np.ndarray]:
-    """One synthetic clip of separated-stem dB-mel features with beat labels.
+    """One synthetic musical SCENE rendered straight to separated-stem
+    magnitude spectrograms and pushed through the SERVING feature transform
+    (slaney 30-11000 Hz mel + per-stem-max dB — data/separation.py).
+
+    Earlier versions emitted sparse click-track bursts on a -80 dB floor;
+    real separated features are dense harmonic sustains normalized to a 0 dB
+    per-stem peak, and a model trained on clicks returned all-zero
+    activations on real music. Scenes: piano chords comping on the grid,
+    sustained guitar pads, bass pulses, optional drums (35% of clips are
+    percussion-less), a free-running vocal glide as a distractor, and 5%
+    cross-stem leakage imitating imperfect separation masks.
 
     Returns {x [stems, T, mel] f32 dB in [-80, 0], activations [T, 2],
     tempo int, beat_times [K], downbeat_times [K']}.
     """
+    from ..ops.mel import mel_filterbank
+
     bpm = float(np.exp(rng.uniform(np.log(min_bpm), np.log(max_bpm))))
     period = 60.0 / bpm
     time_sig = int(rng.choice([3, 4], p=[0.25, 0.75]))
@@ -60,80 +82,109 @@ def synth_beat_example(
     dur = T / fps
     ks = np.arange(int(dur / period) + 2)
     beat_times = phase + ks * period
-    beat_times = beat_times[beat_times < dur - 1.0 / fps]
+    keep = beat_times < dur - 1.0 / fps
+    beat_times = beat_times[keep]
     is_down = (ks[: len(beat_times)] % time_sig) == down_offset
     down_times = beat_times[is_down]
+    frames = np.round(beat_times * fps).astype(int)
+    beat_len = max(int(round(period * fps)), 2)
 
-    x = np.full((n_stems, T, mel), -80.0, np.float32)
-    # Noise floor everywhere.
-    x += rng.uniform(0.0, 8.0, size=x.shape).astype(np.float32)
+    F = 1024  # <= 11 kHz band of the SEP_N_FFT rfft grid
+    freqs = np.fft.rfftfreq(SEP_N_FFT, 1.0 / 44100.0)[:F].astype(np.float32)
+    mag = np.zeros((n_stems, T, F), np.float32)
 
-    decay = np.array([0.0, -6.0, -14.0, -26.0], np.float32)  # dB per frame
-
-    def burst(stem, frame, bins, level):
-        for d, drop in enumerate(decay):
-            f = frame + d
-            if 0 <= f < T:
-                x[stem, f, bins] = np.maximum(x[stem, f, bins], level + drop)
-
-    lo_bins = np.arange(0, 16)
-    wide_bins = np.arange(0, mel)
-    hat_bins = np.arange(mel - 32, mel)
-
-    # 35% of clips are PERCUSSION-LESS (solo piano / acoustic): the grid
-    # lives in harmonic-stem chord onsets instead of drum hits. Without
-    # these the model learns "melodic onsets are distractors" and returns
-    # zero activations on drumless real music (e.g. piano covers).
     drumless = rng.random() < 0.35
 
-    for t, down in zip(beat_times, is_down):
-        frame = int(round(t * fps))
-        if not drumless:
-            # Drums (stem 4): wideband hit on every beat, stronger on
-            # downbeats; bass (stem 3): low-frequency pulse on the beat.
-            lvl = -6.0 if down else -14.0
-            burst(4, frame, wide_bins, lvl + rng.uniform(-3, 3))
-            burst(3, frame, lo_bins, -10.0 + rng.uniform(-4, 4))
-        # Beat-locked chord onsets on the melodic stems: always present in
-        # drumless clips, often present alongside drums (real-music comping).
-        if drumless or rng.random() < 0.5:
-            stem = int(rng.choice([1, 2])) if not drumless else 1
-            n_chord = int(rng.integers(2, 5))
-            lvl = (-8.0 if down else -16.0) + rng.uniform(-4, 4)
-            for _ in range(n_chord):
-                b0 = int(rng.integers(4, mel - 6))
-                burst(stem, frame, np.arange(b0, b0 + int(rng.integers(2, 5))),
-                      lvl + rng.uniform(-4, 0))
+    def note_shape(pitch, n_h=6, width=12.0):
+        f0 = 440.0 * 2.0 ** ((pitch - 69) / 12.0)
+        return _harmonic_stack(freqs, f0, n_h, width)
+
+    def add_event(stem, frame, shape, level, decay_frames):
+        if frame < 0 or frame >= T:
+            return
+        L = min(max(int(decay_frames), 1), T - frame)
+        env = (level * np.exp(
+            -np.arange(L, dtype=np.float32) / max(decay_frames / 3.0, 1.0)
+        )).astype(np.float32)
+        mag[stem, frame:frame + L] += env[:, None] * shape[None, :]
+
+    # Piano (stem 1): chords comping on the grid, re-voiced on downbeats,
+    # stronger there; low root doubles in drumless clips.
+    chord = None
+    for fr, down in zip(frames, is_down):
+        if drumless or rng.random() < 0.8:
+            if down or chord is None or rng.random() < 0.4:
+                root = int(rng.integers(48, 72))
+                chord = [root, root + int(rng.choice([3, 4])), root + 7]
+                if rng.random() < 0.5:
+                    chord.append(root + 12)
+            lvl = (1.0 if down else 0.55) * rng.uniform(0.7, 1.3)
+            for pitch in chord:
+                add_event(1, fr, note_shape(pitch), lvl * rng.uniform(0.7, 1.0),
+                          beat_len + int(rng.integers(0, beat_len)))
             if drumless and rng.random() < 0.6:
-                # Low chord root standing in for the bass line.
-                burst(1, frame, lo_bins[:8], lvl - 4.0)
+                add_event(1, fr, note_shape(chord[0] - 12, n_h=5),
+                          lvl * 0.8, beat_len)
+        # Off-grid ornaments (syncopation distractors).
+        if rng.random() < 0.4:
+            add_event(1, fr + beat_len // 2,
+                      note_shape(int(rng.integers(60, 90)), n_h=4),
+                      0.3 * rng.uniform(0.5, 1.2), max(beat_len // 2, 2))
 
-    # Off-beat hats on the drums stem (half-period offsets).
-    if not drumless:
-        for t in beat_times:
-            frame = int(round((t + period / 2) * fps))
-            if rng.random() < 0.7:
-                burst(4, frame, hat_bins, -26.0 + rng.uniform(-4, 4))
+    # Guitar/other (stem 2): sustained pad chords re-voiced on downbeats.
+    pad = None
+    for fr, down in zip(frames, is_down):
+        if down or pad is None:
+            root = int(rng.integers(45, 65))
+            pad = sum(note_shape(root + iv, n_h=5, width=18.0)
+                      for iv in (0, 4, 7))
+        if not drumless or rng.random() < 0.5:
+            add_event(2, fr, pad, 0.35 * rng.uniform(0.6, 1.2),
+                      beat_len * time_sig)
 
-    # Melodic stems (0 vocals / 1 piano / 2 other): sustained harmonic bands
-    # and distractor onsets NOT locked to the grid.
-    for stem in (0, 1, 2):
-        n_bands = int(rng.integers(2, 5))
-        for _ in range(n_bands):
-            b0 = int(rng.integers(8, mel - 12))
-            width = int(rng.integers(2, 6))
-            seg_start = int(rng.integers(0, T // 2))
-            seg_len = int(rng.integers(T // 4, T))
-            lvl = rng.uniform(-40, -18)
-            x[stem, seg_start:seg_start + seg_len, b0:b0 + width] = np.maximum(
-                x[stem, seg_start:seg_start + seg_len, b0:b0 + width], lvl
+    # Bass (stem 3): low pulses on the beat (often absent in drumless clips).
+    if not drumless or rng.random() < 0.4:
+        for fr in frames:
+            add_event(3, fr,
+                      _harmonic_stack(freqs, float(rng.uniform(40, 110)), 4, 8.0),
+                      0.8 * rng.uniform(0.6, 1.2), beat_len)
+
+    # Vocals (stem 0): free-running glide phrase — NOT locked to the grid.
+    f0 = float(rng.uniform(150, 380))
+    tt = np.arange(T, dtype=np.float32)
+    glide = f0 * (1 + 0.2 * np.sin(2 * np.pi * tt / float(rng.uniform(80, 200))))
+    env = (rng.random(T) < 0.7).astype(np.float32)
+    env = np.convolve(env, np.ones(15) / 15, mode="same") * 0.5
+    for t in range(0, T, 2):
+        if env[t] > 0.05:
+            v = (env[t] * _harmonic_stack(freqs, glide[t], 8, 25.0)).astype(
+                np.float32
             )
-        for _ in range(int(rng.integers(3, 10))):  # distractor bursts
-            burst(stem, int(rng.integers(0, T)),
-                  np.arange(*sorted(rng.integers(0, mel, 2)) or (0, 1)),
-                  rng.uniform(-30, -12))
+            mag[0, t] += v
+            if t + 1 < T:
+                mag[0, t + 1] += v
 
-    x = np.clip(x, -80.0, 0.0)
+    # Drums (stem 4): kicks/snares on beats, off-beat hats.
+    if not drumless:
+        kick = np.exp(-freqs / 120.0).astype(np.float32)
+        noise = ((freqs > 800) * np.exp(-freqs / 9000.0)).astype(np.float32)
+        for fr, down in zip(frames, is_down):
+            shape = kick if rng.random() < 0.6 else noise
+            add_event(4, fr, shape, (1.6 if down else 1.0) * rng.uniform(0.7, 1.3), 4)
+        for fr in frames:
+            if rng.random() < 0.7:
+                add_event(4, fr + beat_len // 2, noise,
+                          0.35 * rng.uniform(0.6, 1.2), 3)
+
+    # Cross-stem leakage (imperfect separation masks at serving).
+    mix = mag.sum(axis=0)
+    mag += 0.05 * mix[None]
+
+    # SERVING transform: slaney mel power + per-stem-max dB.
+    fb = mel_filterbank(44100, SEP_N_FFT, mel, fmin=30.0, fmax=11000.0,
+                        norm="slaney", mel_scale="slaney")[:F]
+    mel_power = np.einsum("stf,fm->stm", mag ** 2, fb)
+    x = np.stack([_power_to_db_np(m) for m in mel_power]).astype(np.float32)
 
     act = np.zeros((T, 2), np.float32)
     for t, down in zip(beat_times, is_down):
