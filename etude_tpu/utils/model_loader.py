@@ -29,9 +29,11 @@ def load_etude_decoder(
     abstract = init_params(config, seed=seed)
     if model_path.exists() and model_path.suffix in (".pth", ".pt"):
         # Reference torch checkpoint: port the state dict directly.
+        import jax
+
         from .torch_port import load_torch_decoder_checkpoint
 
-        params = load_torch_decoder_checkpoint(model_path, config)
+        params = jax.device_put(load_torch_decoder_checkpoint(model_path, config))
         logger.info(f"reference torch checkpoint ported from {model_path}")
     elif model_path.exists():
         from .training import load_params_only

@@ -358,7 +358,9 @@ def load_torch_amt_checkpoint(path, config):
         payload = torch.load(p, map_location="cpu", weights_only=True)
         state_dict = payload.get("model_state_dict", payload)
     logger.info(f"converting torch AMT checkpoint ({len(state_dict)} tensors)")
-    return convert_amt_state_dict(state_dict, config)
+    import jax
+
+    return jax.device_put(convert_amt_state_dict(state_dict, config))
 
 
 def load_torch_beat_checkpoint(path, config):
@@ -370,4 +372,6 @@ def load_torch_beat_checkpoint(path, config):
         "state_dict", payload.get("model_state_dict", payload)
     )
     logger.info(f"converting torch beat checkpoint ({len(state_dict)} tensors)")
-    return convert_beat_state_dict(state_dict, config)
+    import jax
+
+    return jax.device_put(convert_beat_state_dict(state_dict, config))

@@ -146,10 +146,15 @@ def load_params_only(path: Union[str, Path], abstract_params: Any) -> Any:
     restored = _checkpointer().restore(path, item={"params": abstract_params})
     # Checkpoints may be stored in reduced precision (f16 shipped weights);
     # promote to the caller's requested dtype for stable master weights.
-    return jax.tree.map(
+    params = jax.tree.map(
         lambda r, a: r.astype(a.dtype) if hasattr(a, "dtype") else r,
         restored["params"], abstract_params,
     )
+    # Commit to the default device NOW: orbax restores host numpy arrays, and
+    # every jit invocation re-uploads host operands — on a remote-tunneled
+    # chip that is ~2 s of transfer per call for the 25M decoder (measured),
+    # dwarfing the launch it feeds.
+    return jax.device_put(params)
 
 
 def save_aux_params(
