@@ -10,17 +10,20 @@ the framework's long-sequence mechanism for full-song beat tracking.
 TPU-first: within a head, every attention slot is the key sequence shifted
 by a constant offset, so keys/values are assembled from STATIC shifted
 slices of a padded array (pure data movement XLA vectorizes well — no
-gather). A Pallas kernel backend (`dilated_attention_pallas`) computes the
-same op with the shifted slices taken directly in VMEM; select with
-ETUDE_DILATED_BACKEND=pallas. The reference's head-7 key-slice bug (uses
-head 6's keys, kept there for checkpoint compatibility) is FIXED here since
-we train from scratch.
+gather). The reference's head-7 key-slice bug (uses head 6's keys, kept
+there for checkpoint compatibility) is FIXED here since we train from
+scratch.
+
+`dilated_attention_pallas` is an EXPERIMENTAL Pallas formulation kept for
+interpret-mode study only: this stack's TPU compiler rejects it with an
+MLIR `tpu.dot_dimension_numbers` parse error on the kernel's batched-dot
+shapes (scripts/bench_dilated_attention.py reproduces), so it is NOT wired
+into the production path.
 """
 
 from __future__ import annotations
 
 import functools
-import os
 from typing import Tuple
 
 import jax
@@ -80,8 +83,6 @@ def dilated_attention(
     when running checkpoints that were TRAINED with it. Off by default."""
     if head7_bug and q.shape[1] == 8:
         k = k.at[:, 7].set(k[:, 6])
-    if os.environ.get("ETUDE_DILATED_BACKEND") == "pallas":
-        return dilated_attention_pallas(q, k, v, er, dilation)
     B, H, T, d = q.shape
     attn_len = er.shape[-1]
     offsets = head_offsets(H, attn_len)

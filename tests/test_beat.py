@@ -216,7 +216,8 @@ def test_native_dbn_downbeat_matches_jax(monkeypatch):
 
 
 def test_pallas_dilated_backend_matches(monkeypatch):
-    """ETUDE_DILATED_BACKEND=pallas must match the XLA slice formulation
+    """The experimental Pallas kernel (interpret mode) must match the XLA
+    slice formulation
     (interpret mode on CPU)."""
     from etude_tpu.ops.dilated_attention import (
         dilated_attention,
