@@ -9,8 +9,8 @@ continuous token stream
     [E,E,...,E] X_0 Y_0 X_1 Y_1 ... X_i Y_i ...
      n_ctx empty pairs (seeded once)
 
-so the whole song decodes as ONE jit-compiled program holding a ring-buffer
-KV cache in HBM:
+so the whole song decodes as ONE jit-compiled program holding a KV cache in
+HBM:
 
   * per bar, only the new condition tokens X_i are prefix-encoded (≈50–150
     tokens) instead of the full ≈512-token prompt;
@@ -28,6 +28,31 @@ was generated in, rather than recomputed under each later bar's (shifted)
 window. Tokens keep the context they were generated under; the window shape
 the model sees is unchanged. Use the rebuild engine where exact reference
 logit reproduction is required.
+
+Cache layout (the round-3 redesign; the round-2 ring buffer scaled every
+decode step's cost with the ring size). The buffer has two regions:
+
+    [0, hist)                 compacted history window — slot j of stream b
+                              holds the token at global position
+                              win_start[b] + j
+    [hist, hist + X + 1 + max_new)
+                              this bar's events at SHARED slot offsets: the
+                              X condition tokens, the Bar_BOS, then one slot
+                              per decode step
+
+Every write is a `dynamic_update_slice` at a slot offset SHARED by all
+streams (per-stream state lives in `slot_pos`, the global position each slot
+holds for each stream, −1 = dead/junk). This keeps writes O(B·H·D) per step
+— a true in-place DUS — instead of the ring design's read-modify-write over
+the whole cache (and instead of a per-stream-index scatter, which XLA:TPU
+lowers to a scalar-core loop). At each bar start the live window
+[win_start, cur) is compacted into the history region with one one-hot
+matmul (MXU work, once per bar, amortized over the bar's decode steps).
+
+Visibility is position-based, unchanged: key slot s of stream b is visible
+to a query at position q iff win_start[b] <= slot_pos[b, s] <= q. Parked
+streams (past their Bar_EOS) and condition-padding slots write slot_pos −1,
+so their K/V junk is never attended.
 
 Global positions exceed the rotary table, so phases are computed on the fly
 with a split-position scheme (hi·4096 + lo, hi-phases folded mod 2π in f64
@@ -97,17 +122,50 @@ def _apply_rotary_pos(x, cos, sin, rotary_dim):
 
 
 def init_stream_cache(config: EtudeDecoderConfig, batch: int,
-                      ring: int, dtype=jnp.bfloat16):
-    """Ring cache with one extra scratch slot (index `ring`) that finished
-    streams write into so live window slots stay untouched."""
-    shape = (config.num_hidden_layers, batch, ring + 1,
+                      cache_len: int, dtype=jnp.bfloat16):
+    """Two-region window cache (see module docstring); cache_len = hist
+    region + bar region."""
+    shape = (config.num_hidden_layers, batch, cache_len,
              config.num_attention_heads, config.head_dim)
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
-        # Global stream position held in each slot; -1 = empty/never visible.
-        "slot_pos": jnp.full((batch, ring + 1), -1, jnp.int32),
+        # Global stream position held in each slot; -1 = dead/never visible.
+        "slot_pos": jnp.full((batch, cache_len), -1, jnp.int32),
     }
+
+
+def compact_window(cache, win_start: jnp.ndarray, cur: jnp.ndarray,
+                   hist: int):
+    """Gather each stream's live window [win_start, cur) to the front of the
+    history region and clear the bar region.
+
+    Implemented as a one-hot matmul over the slot axis (dense MXU work; a
+    per-stream gather would hit TPU's slow batched-index path). Runs once per
+    bar, amortized over the bar's decode steps."""
+    C = cache["slot_pos"].shape[1]
+    j = jnp.arange(hist, dtype=jnp.int32)
+    target_pos = win_start[:, None] + j[None]                    # [B, hist]
+    live = target_pos < cur[:, None]
+    match = (cache["slot_pos"][:, None, :] == target_pos[:, :, None]) & (
+        live[:, :, None]
+    )                                                            # [B, hist, C]
+    m = match.astype(cache["k"].dtype)
+
+    def gather(arr):  # [L, B, C, H, D] → [L, B, C, H, D] (bar region zeroed)
+        hist_part = jnp.einsum("bjc,lbchd->lbjhd", m, arr)
+        pad = jnp.zeros(
+            arr.shape[:2] + (C - hist, *arr.shape[3:]), arr.dtype
+        )
+        return jnp.concatenate([hist_part, pad], axis=2)
+
+    new_slot_pos = jnp.concatenate(
+        [jnp.where(live, target_pos, -1),
+         jnp.full((cache["slot_pos"].shape[0], C - hist), -1, jnp.int32)],
+        axis=1,
+    )
+    return {"k": gather(cache["k"]), "v": gather(cache["v"]),
+            "slot_pos": new_slot_pos}
 
 
 def stream_chunk(
@@ -119,28 +177,22 @@ def stream_chunk(
     attr_ids: Dict[str, jnp.ndarray],
     start_pos: jnp.ndarray,      # [B] global position of token 0
     win_start: jnp.ndarray,      # [B] first visible global position
-    write_mask: Optional[jnp.ndarray] = None,  # [B] False → park in scratch
+    slot_offset,                 # scalar int32: tokens land in slots
+                                 # [slot_offset, slot_offset + S)
+    valid_len: Optional[jnp.ndarray] = None,  # [B] tokens s >= valid_len[b]
+                                              # write slot_pos -1 (junk)
     max_hi: int = 16,
     compute_dtype=jnp.bfloat16,
 ):
-    """Encode S new tokens of the stream against the ring cache.
+    """Encode S new tokens of the stream against the window cache.
 
-    Every token t sits at global position start_pos[b] + t and is written to
-    ring slot (pos % ring). Right-padding junk beyond a stream's real length
-    is safe by construction: junk occupies slots belonging to FUTURE
-    positions, is never visible to any real query (its slot_pos exceeds every
-    live query position), and is overwritten by the real token of that
-    position before that position is ever queried. Returns (logits, cache).
-
-    Cache writes are expressed as ONE-HOT masked updates (keep·cache +
-    onehot·k — dense VPU/MXU ops), not scatters: XLA:TPU lowers a
-    batched-index scatter to a scalar-core loop that costs ~1.4 ms per
-    decode step on a v5e — 20x the rest of the step body. A parked stream
-    (write_mask False) simply has its one-hot rows zeroed, replacing the
-    scratch-slot redirection (slot index `ring`) with "no write at all".
+    Token s of every stream is written to slot slot_offset + s — the slot
+    index is SHARED across streams, so each write is one dynamic_update_slice
+    (in-place inside the surrounding while_loop). Per-stream facts (the
+    global position a slot holds, or -1 for condition padding / parked
+    streams) live in slot_pos and gate visibility. Returns (logits, cache).
     """
     B, S = input_ids.shape
-    ring = cache["slot_pos"].shape[1] - 1
     n_heads, head_dim = config.num_attention_heads, config.head_dim
     eps = config.layer_norm_eps
 
@@ -149,26 +201,18 @@ def stream_chunk(
     positions = start_pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None]  # [B,S]
     cos, sin = _rotary_at(positions, config, max_hi)
 
-    slots = positions % ring
-
-    # One-hot write masks over the ring (+1 keeps the legacy scratch slot in
-    # the cache shape; it is never written). onehot [B, S, ring+1] has at
-    # most one 1 per (b, s); within a chunk all S slots are distinct
-    # (consecutive positions, S < ring).
-    onehot = (slots[..., None] == jnp.arange(ring + 1)[None, None]).astype(
-        cache["k"].dtype
+    if valid_len is None:
+        pos_vals = positions
+    else:
+        pos_vals = jnp.where(
+            jnp.arange(S, dtype=jnp.int32)[None] < valid_len[:, None],
+            positions, -1,
+        )
+    new_slot_pos = jax.lax.dynamic_update_slice(
+        cache["slot_pos"], pos_vals, (0, slot_offset)
     )
-    if write_mask is not None:
-        onehot = onehot * write_mask[:, None, None].astype(onehot.dtype)
-    written = onehot.sum(axis=1)                       # [B, ring+1] 0/1
-    keep = (1.0 - written).astype(cache["k"].dtype)
 
-    pos_by_slot = jnp.einsum(
-        "bsr,bs->br", onehot.astype(jnp.float32), positions.astype(jnp.float32)
-    ).astype(jnp.int32)
-    new_slot_pos = jnp.where(written > 0, pos_by_slot, cache["slot_pos"])
-
-    # Attention bias [B, 1, S, ring+1]: visible iff win_start <= key_pos <=
+    # Attention bias [B, 1, S, C]: visible iff win_start <= key_pos <=
     # query_pos (slot_pos == -1 is never visible since win_start >= 0).
     key_pos = new_slot_pos[:, None, None, :]
     q_pos = positions[:, None, :, None]
@@ -176,11 +220,9 @@ def stream_chunk(
     bias = jnp.where(visible, 0.0, -1e9).astype(jnp.float32)
 
     def write_cache(cache_arr, new_vals):
-        # [B, ring+1, H, D] = keep·cache + onehot^T·new  (dense ops only).
-        upd = jnp.einsum(
-            "bsr,bshd->brhd", onehot, new_vals.astype(cache_arr.dtype)
+        return jax.lax.dynamic_update_slice(
+            cache_arr, new_vals.astype(cache_arr.dtype), (0, slot_offset, 0, 0)
         )
-        return cache_arr * keep[:, :, None, None] + upd
 
     def layer_body(h, inputs):
         layer, k_cache, v_cache = inputs
@@ -227,7 +269,7 @@ def stream_chunk(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "config", "n_ctx", "max_new_tokens", "ring",
+        "config", "n_ctx", "max_new_tokens", "hist",
         "bar_bos_id", "bar_eos_id", "pad_id", "prompt_cap", "prompt_keep",
         "max_hi",
     ),
@@ -245,7 +287,7 @@ def generate_song_stream(
     *,
     n_ctx: int,
     max_new_tokens: int,
-    ring: int,
+    hist: int,
     bar_bos_id: int,
     bar_eos_id: int,
     pad_id: int,
@@ -259,11 +301,14 @@ def generate_song_stream(
     each bar's tokens exclude the Bar_BOS opener and include the Bar_EOS.
     """
     B, N_BARS, X = x_tokens.shape
+    cache_len = hist + X + 1 + max_new_tokens
 
-    cache = init_stream_cache(config, B, ring)
+    cache = init_stream_cache(config, B, cache_len)
 
     # ---- seed: n_ctx empty (X, Y) pairs — the reference's empty-history
     # padding (etude_decoder.py:263-276) emerges from the sliding window.
+    # Written straight into the history region (slot j = position j, already
+    # compact).
     seed_len = 4 * n_ctx
     pair = [bar_bos_id, bar_eos_id]
     seed_ids = jnp.asarray(pair * (2 * n_ctx), jnp.int32)[None].repeat(B, 0)
@@ -276,7 +321,8 @@ def generate_song_stream(
     zero = jnp.zeros((B,), jnp.int32)
     _, cache = stream_chunk(
         params, config, cache, seed_ids, seed_cls, seed_attrs,
-        start_pos=zero, win_start=zero, max_hi=max_hi,
+        start_pos=zero, win_start=zero, slot_offset=jnp.int32(0),
+        max_hi=max_hi,
     )
 
     # Pair starts for pairs [i, i + n_ctx] (window for bar i opens at the
@@ -309,6 +355,9 @@ def generate_song_stream(
             prompt_len > prompt_cap - 1, x_end - prompt_keep, win_start
         )
 
+        # ---- slide the live window to the front of the history region.
+        cache = compact_window(cache, win_start, cur, hist)
+
         # ---- encode the new condition tokens (the bar's only "prefill").
         attr_seq = {
             name: jnp.broadcast_to(a[:, None], (B, X)) for name, a in attrs_i.items()
@@ -316,7 +365,8 @@ def generate_song_stream(
         cls_seq = jnp.full((B, X), SRC_CLASS_ID, jnp.int32)
         _, cache_x = stream_chunk(
             params, config, cache, x_i, cls_seq, attr_seq,
-            start_pos=cur, win_start=win_start, max_hi=max_hi,
+            start_pos=cur, win_start=win_start,
+            slot_offset=jnp.int32(hist), valid_len=len_i, max_hi=max_hi,
         )
 
         # ---- Bar_BOS opener (target class, target attrs) → first logits.
@@ -325,7 +375,8 @@ def generate_song_stream(
         attr1 = {name: a[:, None] for name, a in attrs_i.items()}
         logits, cache_y = stream_chunk(
             params, config, cache_x, bos, cls1, attr1,
-            start_pos=x_end, win_start=win_start, max_hi=max_hi,
+            start_pos=x_end, win_start=win_start,
+            slot_offset=jnp.int32(hist + X), max_hi=max_hi,
         )
         last_logits = logits[:, 0]
 
@@ -346,11 +397,15 @@ def generate_song_stream(
             counts = counts + jnp.where(done, 0, 1)
             done_next = done | (tok == bar_eos_id)
 
+            # Parked streams' positions do not advance; their slot gets
+            # slot_pos -1 (valid_len 0) so the junk K/V is never visible.
             pos = x_end + 1 + step
             logits, cache = stream_chunk(
                 params, config, cache, tok[:, None], cls1, attr1,
                 start_pos=pos, win_start=win_start,
-                write_mask=~done, max_hi=max_hi,
+                slot_offset=jnp.int32(hist + X + 1) + step,
+                valid_len=jnp.where(done, 0, 1),
+                max_hi=max_hi,
             )
             return (step + 1, logits[:, 0], cache, done_next, bar_out,
                     counts, rng)
@@ -488,10 +543,10 @@ class StreamingGenerationEngine:
         )
         max_hi = int(max_pos // _POS_SPLIT) + 2
 
-        # Ring bound: the live window never exceeds (prompt_cap - 1) + BOS +
-        # generation, and right-padding junk extends at most X positions past
-        # the head — both must fit without aliasing a live slot.
-        ring = self.prompt_cap + X + self.max_bar_token_limit + 2
+        # History region: the compacted live window [win_start, cur) never
+        # exceeds prompt_cap positions (the truncation rule bounds
+        # x_end - win_start by prompt_cap - 1; seeding adds 4·n_ctx).
+        hist = max(self.prompt_cap, 4 * n_ctx)
 
         if progress:
             logger.info(
@@ -507,7 +562,7 @@ class StreamingGenerationEngine:
             jnp.float32(temperature), jnp.float32(top_p),
             n_ctx=n_ctx,
             max_new_tokens=self.max_bar_token_limit,
-            ring=ring,
+            hist=hist,
             bar_bos_id=self.bar_bos_id,
             bar_eos_id=self.bar_eos_id,
             pad_id=self.pad_id,

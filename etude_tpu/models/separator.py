@@ -102,7 +102,9 @@ def _conv(h, p, stride=1, dtype=jnp.bfloat16, groups: int = 8):
     ) + p["b"].astype(dtype)
     if "gn_scale" in p:
         B, T, F, C = out.shape
-        g = min(groups, C)
+        # Largest divisor of C that is <= groups: non-default channel widths
+        # (e.g. C=12, groups=8) would otherwise fail the reshape below.
+        g = next(d for d in range(min(groups, C), 0, -1) if C % d == 0)
         x = out.astype(jnp.float32).reshape(B, T, F, g, C // g)
         mean = x.mean(axis=(1, 2, 4), keepdims=True)
         var = x.var(axis=(1, 2, 4), keepdims=True)

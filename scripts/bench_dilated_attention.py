@@ -47,18 +47,17 @@ def main(argv=None) -> int:
     results = {}
     for name, fn in (("xla", dilated_attention), ("pallas", dilated_attention_pallas)):
         outs = []
+        # One jit wrapper per backend, shared by warm-up and the timed loop —
+        # a fresh jax.jit() has its own trace cache, so re-wrapping inside the
+        # timed region would charge re-tracing to the measurement.
+        jitted = jax.jit(fn, static_argnames=("dilation",))
         try:
             for layer in range(args.layers):
-                dilation = 2 ** layer
-                out = jax.jit(fn, static_argnames=("dilation",))(
-                    q, k, v, er, dilation=dilation
-                )
+                out = jitted(q, k, v, er, dilation=2 ** layer)
                 out.block_until_ready()
             t0 = time.perf_counter()
             for layer in range(args.layers):
-                outs.append(jax.jit(fn, static_argnames=("dilation",))(
-                    q, k, v, er, dilation=2 ** layer
-                ))
+                outs.append(jitted(q, k, v, er, dilation=2 ** layer))
             jax.block_until_ready(outs)
             dt = time.perf_counter() - t0
             results[name] = (dt, outs)

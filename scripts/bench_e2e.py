@@ -105,7 +105,10 @@ def main(argv=None) -> int:
         if ref_midi.exists():
             ref_notes = [n for n in read_midi_notes(ref_midi)
                          if n["onset"] < args.seconds - 2]
-            est_notes = json.loads(extract_json.read_text())
+            # Same horizon cutoff on both sides: estimates in the un-rendered
+            # final 2 s would otherwise count as false positives.
+            est_notes = [n for n in json.loads(extract_json.read_text())
+                         if n["onset"] < args.seconds - 2]
             results["extract_onset_f1"] = round(
                 onset_f1(ref_notes, est_notes)["f1"], 4
             )

@@ -46,25 +46,28 @@ from etude_tpu.utils.training import save_aux_params  # noqa: E402
 
 
 # ------------------------------------------------------------------ harness
-def prefetch(gen_fn, n_steps: int, depth: int = 4):
-    """Host-side batch generation on a worker thread (the TPU step releases
-    the GIL, so generation overlaps device compute even on one core)."""
+def prefetch(gen_fn, n_steps: int, depth: int = 4, workers: int = 1):
+    """Host-side batch generation on worker threads (the TPU step releases
+    the GIL, so generation overlaps device compute even on one core).
+
+    With workers > 1, steps are striped across threads (worker w generates
+    steps w, w+workers, ...) and may arrive out of order; gen_fn must then
+    derive any per-step randomness from its step index rather than sharing
+    a mutable RNG."""
     q: queue.Queue = queue.Queue(maxsize=depth)
 
-    def worker():
-        for i in range(n_steps):
+    def worker(w):
+        for i in range(w, n_steps, workers):
             q.put(gen_fn(i))
-        q.put(None)
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is None:
-            return
-        yield item
+    for w in range(workers):
+        threading.Thread(target=worker, args=(w,), daemon=True).start()
+    for _ in range(n_steps):
+        yield q.get()
 
 
-def train_loop(name, params, loss_fn, gen_fn, steps, lr, log_every=50):
+def train_loop(name, params, loss_fn, gen_fn, steps, lr, log_every=50,
+               workers: int = 1):
     """Generic jitted AdamW loop over host-generated batches."""
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
@@ -95,7 +98,7 @@ def train_loop(name, params, loss_fn, gen_fn, steps, lr, log_every=50):
     t0 = time.time()
     first_loss = last_loss = None
     window = []
-    for i, batch in enumerate(prefetch(gen_fn, steps)):
+    for i, batch in enumerate(prefetch(gen_fn, steps, workers=workers)):
         params, opt_state, metrics = step(params, opt_state, batch)
         window.append(metrics["loss"])
         if i == 0 or (i + 1) % log_every == 0 or i == steps - 1:
@@ -203,7 +206,8 @@ def run_amt(args):
 
     # Onset/offset targets are ~0.05% positive: weight the positive class so
     # the heads escape the all-zeros solution, then ANNEAL the weight to 1.0
-    # (linear over the first 70% of steps) so the FINAL model is calibrated
+    # (linear over the first `anneal_frac` of steps) so the FINAL model is
+    # calibrated
     # for the reference's 0.5 peak-picking threshold — a model trained at
     # constant weight w fires at p_w = w·p/(w·p+1−p) and floods the picker.
     # Velocity CE is confined to sounding cells (silent weight 0): the picker
@@ -278,6 +282,143 @@ def run_amt(args):
     return f1
 
 
+# --------------------------------------------------------------- amt-corpus
+def eval_extract_corpus(params, eval_dirs, seconds: float = 120.0,
+                        work_dir: Path = Path("/tmp/etude_amt_eval")):
+    """Held-out full-path fidelity: render each eval song's human.mid at
+    44.1 kHz (the bench_e2e serving chain), run the COMPLETE extract
+    pipeline (decode→resample→device mel→segmented forward→peak picking),
+    and score onset F1 against the song's own notes."""
+    from etude_tpu.config.schema import ExtractorConfig
+    from etude_tpu.data.extractor import AMTAPC_Extractor
+    from etude_tpu.data.synthetic import render_piano
+    from etude_tpu.evaluation.metrics.onset_f1 import onset_f1
+    from etude_tpu.utils.audio import save_wav
+    from etude_tpu.utils.midi import read_midi_notes
+
+    work_dir.mkdir(parents=True, exist_ok=True)
+    extractor = AMTAPC_Extractor(ExtractorConfig(), params=params)
+    per_song = {}
+    for d in eval_dirs:
+        ref = [n for n in read_midi_notes(d / "human.mid")
+               if n["onset"] < seconds - 2]
+        if not ref:
+            continue
+        wav = work_dir / f"{d.name}.wav"
+        save_wav(wav, render_piano(ref, seconds, sr=44100), 44100)
+        est = extractor.extract(wav, work_dir / f"{d.name}.json")
+        est = [n for n in est if n["onset"] < seconds - 2]
+        per_song[d.name] = round(onset_f1(ref, est)["f1"], 4)
+        logger.info(f"[amt-corpus eval] {d.name}: onset F1 {per_song[d.name]:.3f}")
+    mean_f1 = float(np.mean(list(per_song.values()))) if per_song else 0.0
+    return mean_f1, per_song
+
+
+def run_amt_corpus(args):
+    """Fine-tune the extractor on rendered-corpus windows through the serving
+    signal chain (data/corpus_render.py), mixed with serving-chain synthetic
+    clips so the random-note skill is retained. Warm-starts from the shipped
+    synthetic checkpoint by default."""
+    from etude_tpu.data import corpus_render as cr
+    from etude_tpu.models import amt
+
+    config = amt.AMTConfig()
+    params = amt.init_params(config, seed=args.seed)
+    init_from = getattr(args, "init_from", None) or str(
+        REPO / "checkpoints" / "extractor" / "latest.ckpt"
+    )
+    if Path(init_from).exists():
+        from etude_tpu.utils.training import load_params_only
+
+        params = load_params_only(init_from, params)
+        logger.info(f"warm start from {init_from}")
+    else:
+        init_from = None
+        logger.warn("no warm-start checkpoint found; training from scratch")
+    logger.info(f"amt model: {amt.param_count(params) / 1e6:.2f}M params")
+
+    dirs = cr.corpus_song_dirs()
+    train_dirs, eval_dirs = cr.split_songs(dirs)
+    logger.info(f"corpus: {len(train_dirs)} train songs, "
+                f"{len(eval_dirs)} held-out eval songs "
+                f"({', '.join(d.name for d in eval_dirs)})")
+    pool = cr.CorpusNotePool(train_dirs)
+
+    fps = syn.AMT_SR / syn.AMT_HOP
+    dur = config.n_frame / fps + 0.3
+    corpus_frac = 0.7
+
+    # Warm starts are past the all-zeros phase: stay calibrated at weight 1.
+    w0_onset, w0_mpe = (1.0, 1.0) if init_from else (120.0, 3.0)
+    anneal_frac = 0.3
+
+    def weights_at(i):
+        t = min(i / max(args.steps * anneal_frac, 1), 1.0)
+        return {
+            "onset": np.float32(1.0 + (w0_onset - 1.0) * (1.0 - t)),
+            "offset": np.float32(1.0 + (w0_onset - 1.0) * (1.0 - t)),
+            "mpe": np.float32(1.0 + (w0_mpe - 1.0) * (1.0 - t)),
+        }
+
+    def gen(i):
+        # Per-step RNG: multi-worker prefetch stripes steps across threads,
+        # so randomness must be a pure function of the step index.
+        r = np.random.default_rng((args.seed, i))
+        specs, tg = [], {"onset": [], "offset": [], "mpe": [], "velocity": []}
+        for _ in range(args.batch):
+            if r.random() < corpus_frac:
+                notes = pool.sample_window(r, dur)
+            else:
+                notes = []
+            if not notes:
+                nps = float(r.uniform(2.0, 10.0))
+                notes = syn.synth_piano_notes(r, dur, notes_per_sec=nps)
+            wave = cr.render_serving(notes, dur)
+            specs.append(_amt_spec_from_wave(wave, config.n_margin,
+                                             config.n_frame))
+            targets = syn.amt_targets(notes, config.n_frame, fps=fps)
+            for k in tg:
+                tg[k].append(targets[k])
+        batch = {k: np.stack(v) for k, v in tg.items()}
+        batch["spec"] = np.stack(specs)
+        batch["pos_w"] = weights_at(i)
+        return batch
+
+    head_scales = {"onset": 5.0, "offset": 5.0, "mpe": 1.0, "velocity": 0.1}
+
+    def loss(p, batch):
+        pos_weights = dict(batch["pos_w"])
+        pos_weights.update({"velocity": 1.0, "velocity_silent": 0.0})
+        return amt.loss_fn(p, config, batch, remat=True,
+                           pos_weights=pos_weights, head_scales=head_scales)
+
+    params, stats = train_loop("amt-corpus", params, loss, gen,
+                               args.steps, args.lr, workers=3)
+
+    mean_f1, per_song = eval_extract_corpus(
+        params, eval_dirs, seconds=args.eval_seconds
+    )
+    logger.success(
+        f"amt-corpus onset F1 (held-out corpus, full path): {mean_f1:.3f}"
+    )
+
+    stats.update({
+        "onset_f1_corpus": mean_f1,
+        "onset_f1_per_song": per_song,
+        "eval_seconds": args.eval_seconds,
+        "corpus": "rendered-corpus(serving-chain)+synthetic",
+        "corpus_frac": corpus_frac,
+        "train_songs": len(train_dirs),
+        "eval_songs": [d.name for d in eval_dirs],
+        "warm_start": init_from,
+        "model": "AMTConfig()",
+    })
+    out_path = REPO / "checkpoints" / "extractor" / "latest.ckpt"
+    save_aux_params(out_path, params, metadata=stats)
+    logger.success(f"saved {out_path}")
+    return mean_f1
+
+
 # ---------------------------------------------------------------- separator
 def run_separator(args):
     from etude_tpu.data.synthetic import stem_sdr
@@ -335,7 +476,9 @@ def run_separator(args):
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("model", choices=["beat", "amt", "separator", "all"])
+    parser.add_argument(
+        "model", choices=["beat", "amt", "amt-corpus", "separator", "all"]
+    )
     parser.add_argument("--steps", type=int, default=1500)
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--lr", type=float, default=None)
@@ -345,13 +488,17 @@ def main(argv=None) -> int:
     parser.add_argument("--sep-frames", type=int, default=256)
     parser.add_argument("--init-from", type=str, default=None,
                         help="warm-start params checkpoint (amt)")
+    parser.add_argument("--eval-seconds", type=float, default=120.0,
+                        help="per-song audio horizon for amt-corpus eval")
     args = parser.parse_args(argv)
 
-    defaults = {"beat": (8, 5e-4), "amt": (4, 4e-4), "separator": (4, 1e-3)}
+    defaults = {"beat": (8, 5e-4), "amt": (4, 4e-4), "amt-corpus": (4, 1.5e-4),
+                "separator": (4, 1e-3)}
     targets = ["beat", "amt", "separator"] if args.model == "all" else [args.model]
     for name in targets:
         batch, lr = defaults[name]
-        run = {"beat": run_beat, "amt": run_amt, "separator": run_separator}[name]
+        run = {"beat": run_beat, "amt": run_amt, "amt-corpus": run_amt_corpus,
+               "separator": run_separator}[name]
         sub = argparse.Namespace(**vars(args))
         sub.batch = args.batch or batch
         sub.lr = args.lr or lr

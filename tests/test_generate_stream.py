@@ -144,20 +144,21 @@ def test_stream_chunk_matches_fresh_forward(setup):
         for name in ATTRIBUTE_ORDER
     }
 
-    cache = init_stream_cache(config, B, ring=64)
+    cache = init_stream_cache(config, B, 64)
     zero = jnp.zeros((B,), jnp.int32)
-    # Feed in two chunks + token-by-token tail.
+    # Feed in two chunks + token-by-token tail (slot j = position j: a
+    # contiguous prefix is already "compacted").
     logits1, cache = stream_chunk(
         params, config, cache, jnp.asarray(ids[:, :10]),
         jnp.asarray(cls[:, :10]),
         {k: jnp.asarray(v[:, :10]) for k, v in attrs.items()},
-        start_pos=zero, win_start=zero,
+        start_pos=zero, win_start=zero, slot_offset=jnp.int32(0),
     )
     logits2, cache = stream_chunk(
         params, config, cache, jnp.asarray(ids[:, 10:20]),
         jnp.asarray(cls[:, 10:20]),
         {k: jnp.asarray(v[:, 10:20]) for k, v in attrs.items()},
-        start_pos=zero + 10, win_start=zero,
+        start_pos=zero + 10, win_start=zero, slot_offset=jnp.int32(10),
     )
     tail = []
     for t in range(20, S):
@@ -165,7 +166,7 @@ def test_stream_chunk_matches_fresh_forward(setup):
             params, config, cache, jnp.asarray(ids[:, t:t + 1]),
             jnp.asarray(cls[:, t:t + 1]),
             {k: jnp.asarray(v[:, t:t + 1]) for k, v in attrs.items()},
-            start_pos=zero + t, win_start=zero,
+            start_pos=zero + t, win_start=zero, slot_offset=jnp.int32(t),
         )
         tail.append(lt)
     stream_logits = jnp.concatenate([logits1, logits2] + tail, axis=1)
@@ -180,6 +181,59 @@ def test_stream_chunk_matches_fresh_forward(setup):
     )
 
 
+def test_compact_window_preserves_logits(setup):
+    """Compacting the live window to the front of the history region must
+    not change the next token's logits (same content, same positions, only
+    slot indices move)."""
+    from etude_tpu.models.generate_stream import compact_window
+
+    config, params, *_ = setup
+    rng = np.random.default_rng(2)
+    B, S = 2, 20
+    ids = rng.integers(4, 32, (B, S)).astype(np.int32)
+    cls = np.full((B, S), TGT_CLASS_ID, np.int32)
+    attrs = {name: np.ones((B, S), np.int32) for name in ATTRIBUTE_ORDER}
+    probe = rng.integers(4, 32, (B, 1)).astype(np.int32)
+
+    def feed(cache, sl, offset, pos0):
+        return stream_chunk(
+            params, config, cache, jnp.asarray(ids[:, sl]),
+            jnp.asarray(cls[:, sl]),
+            {k: jnp.asarray(v[:, sl]) for k, v in attrs.items()},
+            start_pos=jnp.full((B,), pos0, jnp.int32),
+            win_start=win, slot_offset=jnp.int32(offset),
+        )
+
+    win = jnp.full((B,), 6, jnp.int32)  # visible window starts at pos 6
+    cache = init_stream_cache(config, B, 64)
+    # Tokens at slots == positions [0, 20), with junk interleaved after.
+    _, cache = feed(cache, slice(0, S), 0, 0)
+
+    def probe_logits(cache):
+        logits, _ = stream_chunk(
+            params, config, cache, jnp.asarray(probe),
+            jnp.asarray(cls[:, :1]),
+            {k: jnp.asarray(v[:, :1]) for k, v in attrs.items()},
+            start_pos=jnp.full((B,), S, jnp.int32),
+            win_start=win, slot_offset=jnp.int32(40),
+        )
+        return np.asarray(logits)
+
+    before = probe_logits(cache)
+    # Per-stream window starts: stream 0 from pos 6, stream 1 from pos 9.
+    win = jnp.asarray([6, 9], jnp.int32)
+    compacted = compact_window(
+        cache, win, jnp.full((B,), S, jnp.int32), hist=32
+    )
+    # Window content now sits at slots [0, S - win_b); positions unchanged.
+    sp = np.asarray(compacted["slot_pos"])
+    assert sp[0, 0] == 6 and sp[1, 0] == 9
+    assert (sp[0, S - 6:] == -1).all() and (sp[1, S - 9:] == -1).all()
+    after = probe_logits(compacted)
+    before2 = before  # stream 0's window unchanged (win_start still 6)
+    np.testing.assert_allclose(after[0], before2[0], atol=1e-4, rtol=1e-4)
+
+
 def test_stream_window_respected(setup):
     """A key outside win_start must not influence logits: feeding garbage
     before the window start changes nothing."""
@@ -191,19 +245,19 @@ def test_stream_window_respected(setup):
     attrs = {name: np.ones((B, S), np.int32) for name in ATTRIBUTE_ORDER}
 
     def run(prefix_ids):
-        cache = init_stream_cache(config, B, ring=64)
+        cache = init_stream_cache(config, B, 64)
         pos = jnp.zeros((B,), jnp.int32)
         win = jnp.full((B,), 4, jnp.int32)  # window starts at position 4
         _, cache = stream_chunk(
             params, config, cache, jnp.asarray(prefix_ids), jnp.asarray(cls),
             {k: jnp.asarray(v) for k, v in attrs.items()},
-            start_pos=pos, win_start=win,
+            start_pos=pos, win_start=win, slot_offset=jnp.int32(0),
         )
         logits, _ = stream_chunk(
             params, config, cache, jnp.asarray(ids[:, :1]),
             jnp.asarray(cls[:, :1]),
             {k: jnp.asarray(v[:, :1]) for k, v in attrs.items()},
-            start_pos=pos + S, win_start=win,
+            start_pos=pos + S, win_start=win, slot_offset=jnp.int32(S),
         )
         return np.asarray(logits)
 
