@@ -20,3 +20,15 @@ Layout (mirrors reference layer map, SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("ETUDE_PLATFORM"):
+    # Reliable platform override. The hosted-TPU site initialization ignores
+    # JAX_PLATFORMS, so `JAX_PLATFORMS=cpu` silently still targets the chip;
+    # jax.config.update BEFORE first backend use is the mechanism that works
+    # (tests/conftest.py does the same). ETUDE_PLATFORM=cpu lets offline
+    # scripts run host-side while a training job owns the TPU queue.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["ETUDE_PLATFORM"])

@@ -124,10 +124,58 @@ def estimate_tuning(wave: np.ndarray, sr: int = ALIGN_SR) -> float:
     return best
 
 
+def _cens_like(chroma: np.ndarray, smooth: int = 21, down: int = 5
+               ) -> np.ndarray:
+    """Coarse CENS-style features: moving-average smoothing, downsampling,
+    L2 normalization — the representation synctoolbox's shift search runs
+    its per-shift DTWs on."""
+    kernel = np.ones(smooth, np.float32) / smooth
+    sm = np.stack([
+        np.convolve(chroma[:, c], kernel, mode="same") for c in range(12)
+    ], axis=1)
+    sm = sm[::down]
+    norm = np.linalg.norm(sm, axis=1, keepdims=True)
+    return sm / np.maximum(norm, 1e-9)
+
+
+def _dtw_cost_numpy(sim: np.ndarray) -> float:
+    """Normalized DTW cost over a (1 − similarity) matrix with the MrMsDTW
+    step set {(1,0), (0,1), (1,1)} and weights {1.5, 1.5, 2.0} — row-wise
+    vectorized numpy DP (host-side; called 12 times by the shift search).
+
+    The horizontal recurrence out[j] = min(base[j], out[j-1] + w·c[j]) is a
+    min-plus prefix scan: with S = cumsum(w·c),
+    out[j] = S[j] + cummin(base − S)[j] — exact and fully vectorized."""
+    cost = (1.0 - sim).astype(np.float32)
+    N, M = cost.shape
+    INF = np.float32(1e30)
+
+    S = np.cumsum(1.5 * cost[0])
+    prev = cost[0, 0] + S - S[0]           # first row: horizontal chain only
+    for i in range(1, N):
+        steps_v = prev + 1.5 * cost[i]                    # from (i-1, j)
+        steps_d = np.empty(M, np.float32)
+        steps_d[0] = INF
+        steps_d[1:] = prev[:-1] + 2.0 * cost[i, 1:]       # from (i-1, j-1)
+        base = np.minimum(steps_v, steps_d)
+        S = np.cumsum(1.5 * cost[i])
+        prev = S + np.minimum.accumulate(base - S)
+    return float(prev[-1]) / (N + M)
+
+
 def optimal_chroma_shift(chroma_a: np.ndarray, chroma_b: np.ndarray) -> int:
-    """Cyclic shift of b maximizing average-chroma similarity with a
-    (synctoolbox compute_optimal_chroma_shift equivalent on mean CENS)."""
-    mean_a = chroma_a.mean(axis=0)
-    mean_b = chroma_b.mean(axis=0)
-    sims = [float(mean_a @ np.roll(mean_b, s)) for s in range(12)]
-    return int(np.argmax(sims))
+    """Cyclic shift of b minimizing the coarse-CENS DTW cost against a —
+    the synctoolbox compute_optimal_chroma_shift semantics. (A mean-chroma
+    correlation is not robust: songs with flat pitch-class profiles can tie
+    within noise and mis-key the whole alignment.)"""
+    a = _cens_like(np.asarray(chroma_a, np.float32))
+    b = _cens_like(np.asarray(chroma_b, np.float32))
+    # Bound the per-shift DTW to ~600x600 for speed; the key decision is
+    # global, so extra downsampling does not change the argmin.
+    extra = max(int(np.ceil(max(a.shape[0], b.shape[0]) / 600)), 1)
+    a, b = a[::extra], b[::extra]
+    costs = []
+    for s in range(12):
+        sim = a @ np.roll(b, s, axis=1).T
+        costs.append(_dtw_cost_numpy(sim))
+    return int(np.argmin(costs))

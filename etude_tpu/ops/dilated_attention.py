@@ -68,7 +68,7 @@ def _gather_slices(x: jnp.ndarray, offsets: np.ndarray, dilation: int):
     return jnp.stack(per_head, axis=1), jnp.asarray(valid)
 
 
-def dilated_attention(
+def dilated_attention_stacked(
     q: jnp.ndarray,   # [B, H, T, d]
     k: jnp.ndarray,   # [B, H, T, d]
     v: jnp.ndarray,   # [B, H, T, d]
@@ -76,11 +76,10 @@ def dilated_attention(
     dilation: int,
     head7_bug: bool = False,
 ) -> jnp.ndarray:
-    """Returns [B, H, T, d] attention output.
-
-    head7_bug=True reproduces the reference's training bug (head 7 scores
-    against head 6's keys — dilated_transformer_layer.py:52) for exact parity
-    when running checkpoints that were TRAINED with it. Off by default."""
+    """Reference-shaped formulation materializing [B, H, T, A, d] shifted
+    copies. Kept as the numerical oracle for tests: on TPU the (A=5, d=32)
+    minor dims tile onto the (16, 128) bf16 layout with ~13x padding waste,
+    which made this the dominant cost of the beat forward."""
     if head7_bug and q.shape[1] == 8:
         k = k.at[:, 7].set(k[:, 6])
     B, H, T, d = q.shape
@@ -96,6 +95,93 @@ def dilated_attention(
     scores = jnp.where(valid[None], scores.astype(jnp.float32), -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     return jnp.einsum("bhta,bhtad->bhtd", probs, v_g)
+
+
+def dilated_attention(
+    q: jnp.ndarray,   # [B, H, T, d]
+    k: jnp.ndarray,   # [B, H, T, d]
+    v: jnp.ndarray,   # [B, H, T, d]
+    er: jnp.ndarray,  # [H, d, attn_len] relative-position embedding
+    dilation: int,
+    head7_bug: bool = False,
+) -> jnp.ndarray:
+    """Returns [B, H, T, d] attention output.
+
+    TPU-layout-aware formulation: every large intermediate keeps T in the
+    MINOR (lane) dimension — q/k/v as [B, H, d, T], scores/probs as
+    [A, B, H, T] — so tensors tile the (sublane, lane) layout with no
+    padding blowup. Per (head, slot) the score is an elementwise
+    multiply-reduce of q against a STATIC shifted slice of k (pure data
+    movement + VPU work; no [*, A, d] materialization anywhere). The
+    [B,H,T,A,d] formulation this replaces inflated ~13x under TPU tiling
+    and dominated the whole beat forward.
+
+    head7_bug=True reproduces the reference's training bug (head 7 scores
+    against head 6's keys — dilated_transformer_layer.py:52) for exact
+    parity when running checkpoints that were TRAINED with it."""
+    if head7_bug and q.shape[1] == 8:
+        k = k.at[:, 7].set(k[:, 6])
+    B, H, T, d = q.shape
+    attn_len = er.shape[-1]
+    offsets = head_offsets(H, attn_len)
+    pad = int(np.abs(offsets).max()) * dilation
+
+    # [B, H, d, T]: minor dim T tiles cleanly at any song length.
+    qt = jnp.transpose(q, (0, 1, 3, 2))
+    kt = jnp.pad(jnp.transpose(k, (0, 1, 3, 2)),
+                 ((0, 0), (0, 0), (0, 0), (pad, pad)))
+    vt = jnp.pad(jnp.transpose(v, (0, 1, 3, 2)),
+                 ((0, 0), (0, 0), (0, 0), (pad, pad)))
+
+    # Heads sharing an offset row form contiguous GROUPS (4 symmetric heads
+    # + one per skew); slicing per (group, slot) instead of per (head, slot)
+    # keeps every elementwise op full-head-width and shrinks the op graph
+    # ~4x (the per-head version made XLA:CPU compile times explode at the
+    # beat model's 9 layers).
+    groups = []  # (h_start, h_end) with identical offset rows
+    h0 = 0
+    for h in range(1, H + 1):
+        if h == H or not np.array_equal(offsets[h], offsets[h0]):
+            groups.append((h0, h))
+            h0 = h
+
+    def slot_gather(src, a):
+        """Assemble the slot-a shifted key/value rows for ALL heads:
+        [B, H, d, T] from per-group slices of the padded [B, H, d, T+2p]."""
+        parts = []
+        for (g0, g1) in groups:
+            off = int(offsets[g0, a]) * dilation
+            parts.append(jax.lax.dynamic_slice_in_dim(
+                src[:, g0:g1], pad + off, T, axis=3
+            ))
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+    score_rows = []
+    for a in range(attn_len):
+        k_a = slot_gather(kt, a)                          # [B, H, d, T]
+        score_rows.append(jnp.sum(qt * k_a, axis=2))      # [B, H, T]
+    scores = jnp.stack(score_rows, axis=0)                # [A, B, H, T]
+
+    # Validity is fully static: [A, 1, H, T] numpy constant.
+    t_np = np.arange(T)
+    key_pos = t_np[None, None] + offsets.T[:, :, None] * dilation  # [A, H, T]
+    valid = jnp.asarray(((key_pos >= 0) & (key_pos < T))[:, None])
+
+    # Relative-position bias: [B, H, T, d] x [H, d, A] → [A, B, H, T].
+    rel = jnp.einsum("bhtd,hda->abht", q, er)
+
+    logits = (scores + rel).astype(jnp.float32) / np.sqrt(d)
+    logits = jnp.where(valid, logits, -jnp.inf)
+    m = jnp.max(logits, axis=0, keepdims=True)
+    e = jnp.exp(logits - m)
+    probs = (e / jnp.sum(e, axis=0, keepdims=True)).astype(q.dtype)  # [A,B,H,T]
+
+    # Output accumulation per slot: probs_a · shifted v → [B, H, d, T].
+    acc = jnp.zeros((B, H, d, T), q.dtype)
+    for a in range(attn_len):
+        v_a = slot_gather(vt, a)                          # [B, H, d, T]
+        acc = acc + probs[a][:, :, None, :] * v_a
+    return jnp.transpose(acc, (0, 1, 3, 2))               # [B, H, T, d]
 
 
 # ------------------------------------------------------------------ pallas

@@ -7,14 +7,26 @@ output). Pairing them yields a real distillation dataset for the decoder:
 src = condition notes, tgt = the reference decoder's covers, both on the
 same origin timeline.
 
-The corpus has no tempo.json, so a beat grid is estimated per song from the
-target's onsets (RGC-style grid-period inference scaled into a plausible BPM
-range, 4/4 downbeats anchored at the first onset). The grid is crude but
-IDENTICAL for src and tgt, so the bar-relative structure the decoder learns
-is consistent.
+The corpus has no tempo.json, so a beat grid is estimated per song. Two
+estimators:
+
+  * `--grid tracker` (default): render the target MIDI to audio and run the
+    REAL structuralize stage — separation features → Beat-Transformer → DBN
+    → BeatAnalyzer — with the trained in-repo checkpoints, exactly as
+    serving does (reference: etude/data/beat_detector.py:99-144). Grids come
+    out with per-region BPM/time-sig/phase instead of a single global 4/4.
+  * `--grid rgc`: the round-2 fallback — RGC-style grid-period inference
+    from the target's onsets, 4/4, phase anchored at the first onset.
+
+Because the target MIDI was generated bar-by-bar on a grid, its onsets are
+quantized to sub-beat slots of the TRUE grid; each candidate grid is scored
+by how well the onsets snap to its eighth-note slots, and the better grid
+wins per song (tracker failures fall back to rgc automatically). Either way
+the grid is IDENTICAL for src and tgt, so the bar-relative structure the
+decoder learns is consistent.
 
 Usage: python scripts/distill_dataset.py --corpus /root/reference/docs/songs \
-           --out dataset_distill [--limit N]
+           --out dataset_distill [--limit N] [--grid tracker|rgc]
 """
 
 from __future__ import annotations
@@ -76,6 +88,83 @@ def estimate_tempo_grid(notes, min_bpm=70.0, max_bpm=180.0):
     }]
 
 
+def grid_slot_times(tempo, horizon: float) -> np.ndarray:
+    """All eighth-note slot times implied by a tempo map (the tokenizer's
+    sub-beat resolution is eighths of a beat; scoring at beat/8 keeps the
+    triplet slots within half a slot of a grid line)."""
+    slots = []
+    for region in tempo:
+        downbeats = list(region["downbeats"])
+        if not downbeats:
+            continue
+        beat = 60.0 / region["bpm"]
+        ts = region["time_sig"]
+        bar = beat * ts
+        downbeats.append(downbeats[-1] + bar)
+        for a, b in zip(downbeats[:-1], downbeats[1:]):
+            n = max(int(round((b - a) / beat)) * 8, 8)
+            slots.append(np.linspace(a, b, n, endpoint=False))
+    if not slots:
+        return np.zeros(0)
+    out = np.concatenate(slots)
+    return out[out <= horizon + 1.0]
+
+
+def grid_fit_score(notes, tempo) -> float:
+    """Mean onset distance to the nearest grid slot, in SECONDS (lower is
+    better). The target MIDI was generated ON a grid, so the true grid
+    scores near zero."""
+    onsets = np.unique([n["onset"] for n in notes])
+    if len(onsets) == 0 or not tempo:
+        return np.inf
+    slots = grid_slot_times(tempo, horizon=float(onsets[-1]))
+    if len(slots) < 8:
+        return np.inf
+    idx = np.searchsorted(slots, onsets)
+    idx = np.clip(idx, 1, len(slots) - 1)
+    d = np.minimum(np.abs(onsets - slots[idx - 1]), np.abs(onsets - slots[idx]))
+    return float(d.mean())
+
+
+class TrackerGrid:
+    """Render → separation features → Beat-Transformer → DBN → BeatAnalyzer,
+    with the trained in-repo checkpoints (lazily constructed: the rgc mode
+    must not touch the device)."""
+
+    def __init__(self, repo: Path):
+        self.repo = repo
+        self._stack = None
+
+    def _build(self):
+        from etude_tpu.data.beat_analyzer import BeatAnalyzer
+        from etude_tpu.data.beat_detector import BeatDetector
+        from etude_tpu.data.separation import SourceSeparator
+        from etude_tpu.config.schema import BeatDetectorConfig
+
+        ckpt = self.repo / "checkpoints"
+        self._stack = (
+            SourceSeparator(model_path=ckpt / "separator" / "latest.ckpt"),
+            BeatDetector(BeatDetectorConfig(),
+                         model_path=ckpt / "beat_detector" / "latest.ckpt"),
+            BeatAnalyzer(),
+        )
+
+    def estimate(self, notes, work_wav: Path):
+        from etude_tpu.data.synthetic import render_piano
+        from etude_tpu.utils.audio import save_wav
+
+        if self._stack is None:
+            self._build()
+        separator, detector, analyzer = self._stack
+        dur = max(n["offset"] for n in notes) + 1.0
+        save_wav(work_wav, render_piano(notes, dur, sr=44100), 44100)
+        features = separator.separate_features(work_wav, return_device=True)
+        pred = detector.detect(features, cleanup_input=False)
+        return analyzer.analyze_predictions(
+            pred["beat_pred"], pred["downbeat_pred"]
+        )
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--corpus", default="/root/reference/docs/songs")
@@ -83,6 +172,7 @@ def main(argv=None) -> int:
     parser.add_argument("--src-version", default="etude_e")
     parser.add_argument("--tgt-version", default="etude_d")
     parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--grid", choices=["tracker", "rgc"], default="tracker")
     args = parser.parse_args(argv)
 
     corpus = Path(args.corpus)
@@ -94,6 +184,11 @@ def main(argv=None) -> int:
         songs = json.load(f)
     if args.limit:
         songs = songs[: args.limit]
+
+    tracker = TrackerGrid(Path(__file__).resolve().parent.parent)
+    tempo_cache = out / "tempo"
+    tempo_cache.mkdir(parents=True, exist_ok=True)
+    grid_stats = Counter()
 
     all_src, all_tgt, names = [], [], []
     for meta in songs:
@@ -111,8 +206,45 @@ def main(argv=None) -> int:
             continue
         if len(src_notes) < 32 or len(tgt_notes) < 32:
             continue
+
         tempo = estimate_tempo_grid(tgt_notes)
-        if tempo is None:
+        rgc_score = grid_fit_score(tgt_notes, tempo) if tempo else np.inf
+        chosen = "rgc"
+        if args.grid == "tracker":
+            cache_file = tempo_cache / f"{name}.json"
+            if cache_file.exists():
+                cached = json.loads(cache_file.read_text())
+                tracker_tempo, tracker_score = (
+                    cached["tempo"], cached["score"]
+                )
+            else:
+                try:
+                    tracker_tempo = tracker.estimate(
+                        tgt_notes, Path("/tmp/distill_grid.wav")
+                    )
+                except Exception as exc:
+                    logger.warn(f"{name}: tracker grid failed: {exc}")
+                    tracker_tempo = []
+                tracker_score = grid_fit_score(tgt_notes, tracker_tempo)
+                cache_file.write_text(json.dumps(
+                    {"tempo": tracker_tempo, "score": tracker_score
+                     if np.isfinite(tracker_score) else None}
+                ))
+                tracker_score = tracker_score if tracker_score is not None \
+                    else np.inf
+            if tracker_score is None:
+                tracker_score = np.inf
+            # The onset-snap score arbitrates: the target was GENERATED on a
+            # grid, so the closer grid is the truer one.
+            if tracker_tempo and tracker_score <= rgc_score:
+                tempo, chosen = tracker_tempo, "tracker"
+            logger.info(
+                f"{name}: grid={chosen} "
+                f"(snap tracker {tracker_score if np.isfinite(tracker_score) else 'inf'} vs "
+                f"rgc {rgc_score:.4f})"
+            )
+        grid_stats[chosen] += 1
+        if tempo is None or not tempo:
             continue
         src_events = TinyREMITokenizer(tempo_data=tempo).encode(
             src_notes, with_grace_note=True
@@ -124,7 +256,10 @@ def main(argv=None) -> int:
             all_src.append(src_events)
             all_tgt.append(tgt_events)
             names.append(name)
-    logger.info(f"tokenized {len(names)} song pairs")
+    logger.info(
+        f"tokenized {len(names)} song pairs "
+        f"(grids: {dict(grid_stats)})"
+    )
     if not names:
         return 1
 

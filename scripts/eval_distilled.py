@@ -1,14 +1,29 @@
 #!/usr/bin/env python
 """Evaluate a trained decoder by generating covers for reference-corpus songs.
 
-For each song: condition = etude_e.mid notes on the estimated beat grid (the
-same grid construction as scripts/distill_dataset.py), generate with the
-trained decoder (default attributes 1/1/1 + overlap 2), decode to MIDI, and
-score RGC / IPE of our output plus onset-F1 against the distillation target
-(etude_d.mid). Prints one JSON line of aggregate means.
+For each song: condition = etude_e.mid notes on the song's beat grid (the
+cached tracker grid from scripts/distill_dataset.py when present, else the
+RGC-period estimate — the SAME grid used to build the training corpus),
+generate with the trained decoder, decode to MIDI, and score RGC / IPE of
+our output plus onset-F1 against the distillation target (etude_d.mid).
+Prints one JSON line of aggregate means.
 
-Usage: python scripts/eval_distilled.py --run /tmp/etude_distill/out/distill \
-           --vocab /tmp/etude_distill/dataset/vocab.json [--songs 10]
+Attribute conditioning:
+  * default: fixed bins 1/1/1 + overlap 2 (the reference CLI defaults) —
+    measures style-prompted behavior;
+  * --oracle-attrs: per-bar attribute bins computed from the actual
+    (etude_e, etude_d) pair with corpus-global bin edges — the bins the
+    distillation training saw, so behavior-cloning fidelity is measured
+    without attribute mismatch (reference analog: the TRUE conditioning
+    under which etude_d was produced is unknown; the dataset formulas
+    etude/data/dataset.py:228-332 are the closest observable stand-in).
+
+Temperature defaults to 0.0 (greedy — the reference inference default,
+etude/config/schema.py:222) so distillation match is measured without
+sampling noise; pass --temperature 0.8 for the stochastic setting.
+
+Usage: python scripts/eval_distilled.py --run outputs/train_distill/<id> \
+           --vocab dataset_distill/vocab.json [--songs 10] [--oracle-attrs]
 """
 
 from __future__ import annotations
@@ -22,11 +37,17 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from etude_tpu.data.dataset import (  # noqa: E402
+    bin_attribute,
+    calculate_bin_edges,
+    compute_relative_attributes,
+    extract_bar_features,
+)
 from etude_tpu.data.tokenizer import TinyREMITokenizer, split_sequence_into_bars  # noqa: E402
 from etude_tpu.data.vocab import Vocab  # noqa: E402
 from etude_tpu.evaluation.metrics import IPECalculator, RGCCalculator, onset_f1  # noqa: E402
 from etude_tpu.models.decoder import EtudeDecoderConfig, init_params  # noqa: E402
-from etude_tpu.models.generate import ATTR_KEYS, GenerationEngine  # noqa: E402
+from etude_tpu.models.generate import GenerationEngine  # noqa: E402
 from etude_tpu.utils.logger import logger  # noqa: E402
 from etude_tpu.utils.midi import read_midi_notes, write_midi  # noqa: E402
 from etude_tpu.utils.training import load_params_only  # noqa: E402
@@ -34,15 +55,51 @@ from etude_tpu.utils.training import load_params_only  # noqa: E402
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 from distill_dataset import estimate_tempo_grid  # noqa: E402
 
+# compute_relative_attributes / calculate_bin_edges key → engine attr key.
+_NAME_TO_KEY = {
+    "relative_polyphony": "polyphony_bin",
+    "relative_rhythmic_intensity": "rhythm_intensity_bin",
+    "relative_note_sustain": "sustain_bin",
+    "pitch_overlap_ratio": "pitch_overlap_bin",
+}
+_ATTR_NAMES = tuple(_NAME_TO_KEY)
+
+
+def song_grid(name: str, tgt_notes, dataset_dir: Path):
+    """The grid the training corpus used: cached tracker grid if present
+    (distill_dataset --grid tracker), else the RGC-period estimate."""
+    cache = dataset_dir / "tempo" / f"{name}.json"
+    if cache.exists():
+        data = json.loads(cache.read_text())
+        tempo = data.get("tempo")
+        if tempo:
+            rgc_tempo = estimate_tempo_grid(tgt_notes)
+            rgc_score = _snap_score(tgt_notes, rgc_tempo)
+            trk_score = data.get("score")
+            if trk_score is not None and trk_score <= rgc_score:
+                return tempo
+    return estimate_tempo_grid(tgt_notes)
+
+
+def _snap_score(notes, tempo):
+    from distill_dataset import grid_fit_score
+
+    return grid_fit_score(notes, tempo) if tempo else np.inf
+
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--run", required=True, help="training run dir")
     parser.add_argument("--vocab", required=True)
     parser.add_argument("--corpus", default="/root/reference/docs/songs")
+    parser.add_argument("--dataset-dir", default="dataset_distill")
     parser.add_argument("--songs", type=int, default=10)
     parser.add_argument("--out", default="/tmp/etude_distill/eval")
-    parser.add_argument("--temperature", type=float, default=0.8)
+    parser.add_argument("--temperature", type=float, default=0.0)
+    parser.add_argument("--oracle-attrs", action="store_true")
+    parser.add_argument("--engine", choices=["rebuild", "stream"],
+                        default="rebuild")
+    parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
     run = Path(args.run)
@@ -50,21 +107,31 @@ def main(argv=None) -> int:
     config = EtudeDecoderConfig.from_json_file(run / "etude_decoder_config.json")
     params = load_params_only(run / "model", init_params(config, seed=0))
 
-    engine = GenerationEngine(
-        config, vocab.bar_bos_id, vocab.bar_eos_id, pad_id=vocab.pad_id,
-        prompt_buckets=(512,), max_bar_token_limit=64,
-    )
+    if args.engine == "stream":
+        from etude_tpu.models.generate_stream import StreamingGenerationEngine
+
+        engine = StreamingGenerationEngine(
+            config, vocab.bar_bos_id, vocab.bar_eos_id, pad_id=vocab.pad_id,
+            max_bar_token_limit=64,
+        )
+    else:
+        engine = GenerationEngine(
+            config, vocab.bar_bos_id, vocab.bar_eos_id, pad_id=vocab.pad_id,
+            prompt_buckets=(512,), max_bar_token_limit=64,
+        )
     attrs_default = {"polyphony_bin": 1, "rhythm_intensity_bin": 1,
                      "sustain_bin": 1, "pitch_overlap_bin": 2}
 
     corpus = Path(args.corpus)
+    dataset_dir = Path(args.dataset_dir)
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     with open(corpus / "metadata.json", "r", encoding="utf-8") as f:
         songs = json.load(f)[: args.songs]
 
-    rgc, ipe = RGCCalculator(top_k=8), IPECalculator(n_gram=8, n_clusters=16)
-    rows = []
+    # ---- pass 1: tokenize all songs; collect per-bar attributes ---------
+    prepared = []
+    all_attrs = []
     for meta in songs:
         name = meta["dir_name"]
         song_dir = corpus / name
@@ -73,19 +140,63 @@ def main(argv=None) -> int:
             tgt_notes = read_midi_notes(song_dir / "etude_d.mid")
         except Exception:
             continue
-        tempo = estimate_tempo_grid(tgt_notes)
-        if tempo is None:
+        tempo = song_grid(name, tgt_notes, dataset_dir)
+        if tempo is None or not tempo:
             continue
         tok = TinyREMITokenizer(tempo_data=tempo)
-        events = tok.encode(src_notes, with_grace_note=True)
-        ids = vocab.encode_sequence(events)
-        bars = split_sequence_into_bars(ids, vocab.bar_bos_id, vocab.bar_eos_id)
-        if not bars:
+        src_ids = vocab.encode_sequence(tok.encode(src_notes, with_grace_note=True))
+        src_bars = split_sequence_into_bars(
+            src_ids, vocab.bar_bos_id, vocab.bar_eos_id
+        )
+        if not src_bars:
             continue
+        entry = {"name": name, "tempo": tempo, "src_bars": src_bars,
+                 "tgt_notes": tgt_notes}
+        if args.oracle_attrs:
+            tgt_ids = vocab.encode_sequence(
+                TinyREMITokenizer(tempo_data=tempo).encode(
+                    tgt_notes, with_grace_note=True
+                )
+            )
+            tgt_bars = split_sequence_into_bars(
+                tgt_ids, vocab.bar_bos_id, vocab.bar_eos_id
+            )
+            n = min(len(src_bars), len(tgt_bars))
+            attrs = [
+                compute_relative_attributes(
+                    extract_bar_features(src_bars[i], vocab),
+                    extract_bar_features(tgt_bars[i], vocab),
+                )
+                for i in range(n)
+            ]
+            entry["attrs_raw"] = attrs
+            all_attrs.extend(attrs)
+        prepared.append(entry)
+
+    edges = calculate_bin_edges(all_attrs) if all_attrs else None
+
+    rgc, ipe = RGCCalculator(top_k=8), IPECalculator(n_gram=8, n_clusters=16)
+    rows = []
+    for entry in prepared:
+        name, tempo = entry["name"], entry["tempo"]
+        bars = entry["src_bars"]
+        if args.oracle_attrs:
+            per_bar = []
+            for i in range(len(bars)):
+                if i < len(entry["attrs_raw"]):
+                    raw = entry["attrs_raw"][i]
+                    per_bar.append({
+                        _NAME_TO_KEY[nm]: bin_attribute(raw[nm], edges.get(nm))
+                        for nm in _ATTR_NAMES
+                    })
+                else:
+                    per_bar.append(dict(attrs_default))
+        else:
+            per_bar = [attrs_default] * len(bars)
 
         generated = engine.generate(
-            params, bars, [attrs_default] * len(bars),
-            temperature=args.temperature, top_p=0.9, seed=0,
+            params, bars, per_bar,
+            temperature=args.temperature, top_p=0.9, seed=args.seed,
         )
         gen_events = [e for bar in generated
                       for e in vocab.decode_sequence_to_events(bar)]
@@ -97,7 +208,9 @@ def main(argv=None) -> int:
         r = rgc.calculate(midi_path)
         row["rgc"] = r.get("rgc_score")
         row["ipe"] = ipe.calculate(midi_path).get("ipe_score")
-        row["onset_f1_vs_target"] = onset_f1(tgt_notes, notes, tolerance=0.1)["f1"]
+        row["onset_f1_vs_target"] = onset_f1(
+            entry["tgt_notes"], notes, tolerance=0.1
+        )["f1"]
         rows.append(row)
         logger.info(f"{name}: notes={row['n_notes']} rgc={row['rgc']} "
                     f"ipe={row['ipe']} f1={row['onset_f1_vs_target']:.3f}")
@@ -115,6 +228,9 @@ def main(argv=None) -> int:
         "mean_ipe": mean_of("ipe"),
         "mean_onset_f1_vs_target": mean_of("onset_f1_vs_target"),
         "mean_notes": mean_of("n_notes"),
+        "oracle_attrs": bool(args.oracle_attrs),
+        "temperature": args.temperature,
+        "engine": args.engine,
     }
     print(json.dumps(agg))
     return 0
