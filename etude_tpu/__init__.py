@@ -23,6 +23,11 @@ __version__ = "0.1.0"
 
 import os as _os
 
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    # Persistent compile cache: the hosted-TPU path recompiles 100-900 s per
+    # program per process otherwise. Harmless on CPU; override via env.
+    _os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_tpu_cache"
+
 if _os.environ.get("ETUDE_PLATFORM"):
     # Reliable platform override. The hosted-TPU site initialization ignores
     # JAX_PLATFORMS, so `JAX_PLATFORMS=cpu` silently still targets the chip;

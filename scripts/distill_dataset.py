@@ -160,9 +160,60 @@ class TrackerGrid:
         save_wav(work_wav, render_piano(notes, dur, sr=44100), 44100)
         features = separator.separate_features(work_wav, return_device=True)
         pred = detector.detect(features, cleanup_input=False)
-        return analyzer.analyze_predictions(
+        tempo = analyzer.analyze_predictions(
             pred["beat_pred"], pred["downbeat_pred"]
         )
+        tempo = [self._refine_region(r) for r in tempo]
+        return self._dephase(tempo, notes)
+
+    @staticmethod
+    def _dephase(tempo, notes):
+        """Remove the audio chain's constant phase bias: STFT windows see
+        onset energy up to half a window early, so DBN beat times land a
+        few tens of ms before the notes. The median signed deviation of
+        note onsets to their nearest eighth-beat slot measures the bias;
+        shifting the grid by it keeps the tracker's period, time signature
+        and downbeat choice while aligning phase to the material the grid
+        will tokenize."""
+        if not tempo or not notes:
+            return tempo
+        onsets = np.unique([n["onset"] for n in notes])
+        slots = grid_slot_times(tempo, horizon=float(onsets[-1]))
+        if len(slots) < 8:
+            return tempo
+        idx = np.clip(np.searchsorted(slots, onsets), 1, len(slots) - 1)
+        d_lo = onsets - slots[idx - 1]
+        d_hi = onsets - slots[idx]
+        signed = np.where(np.abs(d_lo) < np.abs(d_hi), d_lo, d_hi)
+        shift = float(np.median(signed))
+        if not np.isfinite(shift) or abs(shift) > 0.08:
+            return tempo
+        return [
+            dict(r, start=r["start"] + shift,
+                 downbeats=[t + shift for t in r["downbeats"]])
+            for r in tempo
+        ]
+
+    @staticmethod
+    def _refine_region(region):
+        """Least-squares (phase, bar-period) fit over a stable region's DBN
+        downbeats: the tracker's timestamps are quantized to ~23 ms
+        activation frames, and within a stable-tempo region the fit removes
+        that noise by ~sqrt(n) while keeping the MEASURED phase and
+        time signature (which the RGC-period fallback only assumes)."""
+        downbeats = np.asarray(region["downbeats"], float)
+        if len(downbeats) < 3:
+            return region
+        i = np.arange(len(downbeats))
+        bar, t0 = np.polyfit(i, downbeats, 1)
+        if bar <= 0:
+            return region
+        return {
+            "time_sig": region["time_sig"],
+            "bpm": 60.0 * region["time_sig"] / bar,
+            "start": float(t0),
+            "downbeats": (t0 + i * bar).round(6).tolist(),
+        }
 
 
 def main(argv=None) -> int:
@@ -234,9 +285,12 @@ def main(argv=None) -> int:
                     else np.inf
             if tracker_score is None:
                 tracker_score = np.inf
-            # The onset-snap score arbitrates: the target was GENERATED on a
-            # grid, so the closer grid is the truer one.
-            if tracker_tempo and tracker_score <= rgc_score:
+            # Arbitration: the snap score is blind to downbeat PHASE and
+            # time signature (any grid with the right period snaps), and
+            # those are exactly what the tracker MEASURES while the RGC
+            # fallback assumes 4/4 anchored at the first onset — so the
+            # tracker wins whenever its snap is in the same league.
+            if tracker_tempo and tracker_score <= max(1.5 * rgc_score, 0.015):
                 tempo, chosen = tracker_tempo, "tracker"
             logger.info(
                 f"{name}: grid={chosen} "
