@@ -122,17 +122,38 @@ def _apply_rotary_pos(x, cos, sin, rotary_dim):
 
 
 def init_stream_cache(config: EtudeDecoderConfig, batch: int,
-                      cache_len: int, dtype=jnp.bfloat16):
+                      cache_len: int, dtype=jnp.bfloat16,
+                      quant: bool = False):
     """Two-region window cache (see module docstring); cache_len = hist
-    region + bar region."""
-    shape = (config.num_hidden_layers, batch, cache_len,
-             config.num_attention_heads, config.head_dim)
-    return {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
+    region + bar region.
+
+    quant=True stores K/V as int8 with one f32 scale per (layer, stream,
+    slot, head) — amax/127 symmetric quantization. Decode-step cost is HBM-
+    bound on the cache read, so int8 halves it; the score and context dots
+    run int8×int8 → s32 on the MXU with the scales applied outside the
+    contractions (per-slot scales factor out of the D / C sums)."""
+    L, H, D = (config.num_hidden_layers, config.num_attention_heads,
+               config.head_dim)
+    shape = (L, batch, cache_len, H, D)
+    cache = {
+        "k": jnp.zeros(shape, jnp.int8 if quant else dtype),
+        "v": jnp.zeros(shape, jnp.int8 if quant else dtype),
         # Global stream position held in each slot; -1 = dead/never visible.
         "slot_pos": jnp.full((batch, cache_len), -1, jnp.int32),
     }
+    if quant:
+        cache["k_scale"] = jnp.zeros((L, batch, cache_len, H), jnp.float32)
+        cache["v_scale"] = jnp.zeros((L, batch, cache_len, H), jnp.float32)
+    return cache
+
+
+def _quantize_kv(x: jnp.ndarray):
+    """[B,S,H,D] f32 → (int8 values, f32 scales [B,S,H]) with amax/127
+    symmetric per-(token, head) scaling."""
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    scale = amax / 127.0
+    q = jnp.round(x / jnp.maximum(scale[..., None], 1e-8))
+    return q.astype(jnp.int8), scale
 
 
 def compact_window(cache, win_start: jnp.ndarray, cur: jnp.ndarray,
@@ -150,22 +171,37 @@ def compact_window(cache, win_start: jnp.ndarray, cur: jnp.ndarray,
     match = (cache["slot_pos"][:, None, :] == target_pos[:, :, None]) & (
         live[:, :, None]
     )                                                            # [B, hist, C]
-    m = match.astype(cache["k"].dtype)
 
-    def gather(arr):  # [L, B, C, H, D] → [L, B, C, H, D] (bar region zeroed)
-        hist_part = jnp.einsum("bjc,lbchd->lbjhd", m, arr)
-        pad = jnp.zeros(
-            arr.shape[:2] + (C - hist, *arr.shape[3:]), arr.dtype
+    def gather(arr, spec):  # slot axis is the 'c' of spec; bar region zeroed
+        if arr.dtype == jnp.int8:
+            # 0/1 matrix: the int8 contraction is exact; results stay in
+            # int8 range because each output slot matches at most one input.
+            hist_part = jnp.einsum(
+                spec, match.astype(jnp.int8), arr,
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.int8)
+        else:
+            hist_part = jnp.einsum(spec, match.astype(arr.dtype), arr)
+        pad_shape = list(hist_part.shape)
+        pad_shape[-arr.ndim + 2] = C - hist  # same axis position as 'c'
+        return jnp.concatenate(
+            [hist_part, jnp.zeros(pad_shape, arr.dtype)], axis=-arr.ndim + 2
         )
-        return jnp.concatenate([hist_part, pad], axis=2)
 
     new_slot_pos = jnp.concatenate(
         [jnp.where(live, target_pos, -1),
          jnp.full((cache["slot_pos"].shape[0], C - hist), -1, jnp.int32)],
         axis=1,
     )
-    return {"k": gather(cache["k"]), "v": gather(cache["v"]),
-            "slot_pos": new_slot_pos}
+    out = {
+        "k": gather(cache["k"], "bjc,lbchd->lbjhd"),
+        "v": gather(cache["v"], "bjc,lbchd->lbjhd"),
+        "slot_pos": new_slot_pos,
+    }
+    for key in ("k_scale", "v_scale"):
+        if key in cache:
+            out[key] = gather(cache[key], "bjc,lbch->lbjh")
+    return out
 
 
 def stream_chunk(
@@ -226,7 +262,10 @@ def stream_chunk(
     # read traffic per decode step. Static indexing keeps the cache threaded
     # linearly, so the only cache traffic is the (l, slot) DUS write and the
     # attention read; layer param slices are loop-invariant and hoisted.
+    quant = "k_scale" in cache
     new_k, new_v = cache["k"], cache["v"]
+    new_ks = cache.get("k_scale")
+    new_vs = cache.get("v_scale")
     for layer_idx in range(config.num_hidden_layers):
         layer = jax.tree.map(lambda a: a[layer_idx], params["layers"])
         x = h
@@ -237,27 +276,71 @@ def stream_chunk(
         q = _apply_rotary_pos(q.astype(jnp.float32), cos, sin, config.rotary_dim)
         k = _apply_rotary_pos(k.astype(jnp.float32), cos, sin, config.rotary_dim)
 
+        if quant:
+            k_w, ks_w = _quantize_kv(k)
+            v_w, vs_w = _quantize_kv(v.astype(jnp.float32))
+            new_ks = jax.lax.dynamic_update_slice(
+                new_ks, ks_w[None], (layer_idx, 0, slot_offset, 0)
+            )
+            new_vs = jax.lax.dynamic_update_slice(
+                new_vs, vs_w[None], (layer_idx, 0, slot_offset, 0)
+            )
+        else:
+            k_w = k.astype(new_k.dtype)
+            v_w = v.astype(new_v.dtype)
         new_k = jax.lax.dynamic_update_slice(
-            new_k, k.astype(new_k.dtype)[None],
-            (layer_idx, 0, slot_offset, 0, 0),
+            new_k, k_w[None], (layer_idx, 0, slot_offset, 0, 0)
         )
         new_v = jax.lax.dynamic_update_slice(
-            new_v, v.astype(new_v.dtype)[None],
-            (layer_idx, 0, slot_offset, 0, 0),
+            new_v, v_w[None], (layer_idx, 0, slot_offset, 0, 0)
         )
 
-        scores = jnp.einsum(
-            "bqhd,bkhd->bhqk",
-            q.astype(compute_dtype), new_k[layer_idx].astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-        ) / np.sqrt(head_dim)
-        probs = jax.nn.softmax(scores + bias, axis=-1).astype(compute_dtype)
+        if quant:
+            # Per-slot scales factor out of the D-contraction: the score dot
+            # runs int8×int8 → s32 (halved HBM read; the MXU runs int8
+            # natively), scales applied to the s32 result.
+            q_q, q_s = _quantize_kv(q)
+            s32 = jnp.einsum(
+                "bqhd,bkhd->bhqk", q_q, new_k[layer_idx],
+                preferred_element_type=jnp.int32,
+            )
+            scores = (
+                s32.astype(jnp.float32)
+                * q_s.transpose(0, 2, 1)[:, :, :, None]
+                * new_ks[layer_idx].transpose(0, 2, 1)[:, :, None, :]
+            ) / np.sqrt(head_dim)
+        else:
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk",
+                q.astype(compute_dtype), new_k[layer_idx].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            ) / np.sqrt(head_dim)
+        probs = jax.nn.softmax(scores + bias, axis=-1)
         w_o = layer["attn_out"]["w"].astype(compute_dtype).reshape(
             n_heads, head_dim, -1
         )
-        ctx = jnp.einsum(
-            "bhqk,bkhd->bqhd", probs, new_v[layer_idx].astype(compute_dtype)
-        )
+        if quant:
+            # Fold the V slot scales into the probabilities, quantize the
+            # result per (stream, head, query) and contract int8×int8.
+            pv = probs * new_vs[layer_idx].transpose(0, 2, 1)[:, :, None, :]
+            p_amax = jnp.max(pv, axis=-1)
+            p_scale = p_amax / 127.0
+            p_q = jnp.round(
+                pv / jnp.maximum(p_scale[..., None], 1e-12)
+            ).astype(jnp.int8)
+            c32 = jnp.einsum(
+                "bhqk,bkhd->bqhd", p_q, new_v[layer_idx],
+                preferred_element_type=jnp.int32,
+            )
+            ctx = (
+                c32.astype(jnp.float32)
+                * p_scale.transpose(0, 2, 1)[..., None]
+            ).astype(compute_dtype)
+        else:
+            ctx = jnp.einsum(
+                "bhqk,bkhd->bqhd", probs.astype(compute_dtype),
+                new_v[layer_idx].astype(compute_dtype),
+            )
         attn_out = jnp.einsum(
             "bqhd,hde->bqe", ctx, w_o
         ) + layer["attn_out"]["b"].astype(compute_dtype)
@@ -270,7 +353,11 @@ def stream_chunk(
 
     h = _layer_norm(h, params["final_ln"]["scale"], params["final_ln"]["bias"], eps)
     logits = h.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
-    return logits, {"k": new_k, "v": new_v, "slot_pos": new_slot_pos}
+    new_cache = {"k": new_k, "v": new_v, "slot_pos": new_slot_pos}
+    if quant:
+        new_cache["k_scale"] = new_ks
+        new_cache["v_scale"] = new_vs
+    return logits, new_cache
 
 
 @functools.partial(
@@ -278,7 +365,7 @@ def stream_chunk(
     static_argnames=(
         "config", "n_ctx", "max_new_tokens", "hist",
         "bar_bos_id", "bar_eos_id", "pad_id", "prompt_cap", "prompt_keep",
-        "max_hi",
+        "max_hi", "kv_quant",
     ),
 )
 def generate_song_stream(
@@ -301,6 +388,7 @@ def generate_song_stream(
     prompt_cap: int,
     prompt_keep: int,
     max_hi: int,
+    kv_quant: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Generate every bar of a song in one on-device program.
 
@@ -310,7 +398,7 @@ def generate_song_stream(
     B, N_BARS, X = x_tokens.shape
     cache_len = hist + X + 1 + max_new_tokens
 
-    cache = init_stream_cache(config, B, cache_len)
+    cache = init_stream_cache(config, B, cache_len, quant=kv_quant)
 
     # ---- seed: n_ctx empty (X, Y) pairs — the reference's empty-history
     # padding (etude_decoder.py:263-276) emerges from the sliding window.
@@ -471,8 +559,10 @@ class StreamingGenerationEngine:
         prompt_cap: Optional[int] = None,
         x_len_buckets: Sequence[int] = (64, 128, 192, 320),
         bars_bucket: int = 32,
+        kv_quant: bool = False,
     ):
         self.config = config
+        self.kv_quant = kv_quant
         self.bar_bos_id = bar_bos_id
         self.bar_eos_id = bar_eos_id
         self.pad_id = pad_id
@@ -576,6 +666,7 @@ class StreamingGenerationEngine:
             prompt_cap=self.prompt_cap,
             prompt_keep=self.prompt_keep,
             max_hi=max_hi,
+            kv_quant=self.kv_quant,
         )
         y_tokens = np.asarray(y_tokens)
         y_counts = np.asarray(y_counts)

@@ -44,6 +44,8 @@ def main(argv=None) -> int:
     parser.add_argument("--batches", type=int, nargs="+", default=[1, 16])
     parser.add_argument("--n1", type=int, default=64)
     parser.add_argument("--n2", type=int, default=512)
+    parser.add_argument("--quant", action="store_true",
+                        help="int8 KV cache (halved HBM cache read)")
     args = parser.parse_args(argv)
 
     ckpt = REPO / "checkpoints" / "decoder"
@@ -57,13 +59,14 @@ def main(argv=None) -> int:
         config = EtudeDecoderConfig()
         params = init_params(config, seed=0)
     rng = np.random.default_rng(0)
-    out = {"backend": jax.default_backend(), "n1": args.n1, "n2": args.n2}
+    out = {"backend": jax.default_backend(), "n1": args.n1, "n2": args.n2,
+           "quant": args.quant}
 
     @functools.partial(
         jax.jit, static_argnames=("n_steps", "B", "cache_len", "greedy")
     )
     def run_steps(params, key, tok0, *, n_steps, B, cache_len, greedy):
-        cache = init_stream_cache(config, B, cache_len)
+        cache = init_stream_cache(config, B, cache_len, quant=args.quant)
         cls = jnp.full((B, 1), 2, jnp.int32)
         attrs = {n: jnp.ones((B, 1), jnp.int32) for n in ATTRIBUTE_ORDER}
         win = jnp.zeros((B,), jnp.int32)

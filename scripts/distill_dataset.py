@@ -216,6 +216,21 @@ class TrackerGrid:
         }
 
 
+_PIANO_LO, _PIANO_HI = 21, 108
+
+
+def _transpose_notes(notes, shift: int):
+    """Copy of `notes` with pitches shifted; notes leaving the piano range
+    are dropped (shift 0 returns the input unchanged)."""
+    if shift == 0:
+        return notes
+    return [
+        dict(n, pitch=n["pitch"] + shift)
+        for n in notes
+        if _PIANO_LO <= n["pitch"] + shift <= _PIANO_HI
+    ]
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--corpus", default="/root/reference/docs/songs")
@@ -224,6 +239,12 @@ def main(argv=None) -> int:
     parser.add_argument("--tgt-version", default="etude_d")
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--grid", choices=["tracker", "rgc"], default="tracker")
+    parser.add_argument(
+        "--transpose", type=int, default=0, metavar="K",
+        help="also emit copies of every pair transposed by ±1..±K semitones "
+        "(src and tgt shifted together; timing/attributes are pitch-"
+        "invariant, so the augmented pairs are exact)",
+    )
     args = parser.parse_args(argv)
 
     corpus = Path(args.corpus)
@@ -300,16 +321,26 @@ def main(argv=None) -> int:
         grid_stats[chosen] += 1
         if tempo is None or not tempo:
             continue
-        src_events = TinyREMITokenizer(tempo_data=tempo).encode(
-            src_notes, with_grace_note=True
-        )
-        tgt_events = TinyREMITokenizer(tempo_data=tempo).encode(
-            tgt_notes, with_grace_note=True
-        )
-        if src_events and tgt_events:
-            all_src.append(src_events)
-            all_tgt.append(tgt_events)
-            names.append(name)
+        shifts = [0] + [
+            s * sign
+            for s in range(1, args.transpose + 1)
+            for sign in (1, -1)
+        ]
+        for shift in shifts:
+            src_k = _transpose_notes(src_notes, shift)
+            tgt_k = _transpose_notes(tgt_notes, shift)
+            if len(src_k) < 32 or len(tgt_k) < 32:
+                continue
+            src_events = TinyREMITokenizer(tempo_data=tempo).encode(
+                src_k, with_grace_note=True
+            )
+            tgt_events = TinyREMITokenizer(tempo_data=tempo).encode(
+                tgt_k, with_grace_note=True
+            )
+            if src_events and tgt_events:
+                all_src.append(src_events)
+                all_tgt.append(tgt_events)
+                names.append(name if shift == 0 else f"{name}_t{shift:+d}")
     logger.info(
         f"tokenized {len(names)} song pairs "
         f"(grids: {dict(grid_stats)})"
