@@ -127,14 +127,21 @@ def init_stream_cache(config: EtudeDecoderConfig, batch: int,
     """Two-region window cache (see module docstring); cache_len = hist
     region + bar region.
 
+    K/V layout is [L, B, H, D, C] — the slot axis LAST so it lands in the
+    TPU lane dimension. The decode step is HBM-bound on the cache read, and
+    with the naive [.., C, H, D] layout the minor dims (H=8, D=64) tile onto
+    the (sublane, lane) grid with 4–8× padding waste (measured ~0.69 µs per
+    slot per step ≈ 6% of HBM bandwidth on ideal bytes). With C minor the
+    tiles are dense in the long axis and the read streams at full width.
+
     quant=True stores K/V as int8 with one f32 scale per (layer, stream,
-    slot, head) — amax/127 symmetric quantization. Decode-step cost is HBM-
-    bound on the cache read, so int8 halves it; the score and context dots
-    run int8×int8 → s32 on the MXU with the scales applied outside the
-    contractions (per-slot scales factor out of the D / C sums)."""
+    head, slot) — amax/127 symmetric quantization. int8 halves the cache
+    read; the score and context dots run int8×int8 → s32 with the scales
+    applied outside the contractions (per-slot scales factor out of the
+    D / C sums)."""
     L, H, D = (config.num_hidden_layers, config.num_attention_heads,
                config.head_dim)
-    shape = (L, batch, cache_len, H, D)
+    shape = (L, batch, H, D, cache_len)
     cache = {
         "k": jnp.zeros(shape, jnp.int8 if quant else dtype),
         "v": jnp.zeros(shape, jnp.int8 if quant else dtype),
@@ -142,8 +149,8 @@ def init_stream_cache(config: EtudeDecoderConfig, batch: int,
         "slot_pos": jnp.full((batch, cache_len), -1, jnp.int32),
     }
     if quant:
-        cache["k_scale"] = jnp.zeros((L, batch, cache_len, H), jnp.float32)
-        cache["v_scale"] = jnp.zeros((L, batch, cache_len, H), jnp.float32)
+        cache["k_scale"] = jnp.zeros((L, batch, H, cache_len), jnp.float32)
+        cache["v_scale"] = jnp.zeros((L, batch, H, cache_len), jnp.float32)
     return cache
 
 
@@ -172,7 +179,7 @@ def compact_window(cache, win_start: jnp.ndarray, cur: jnp.ndarray,
         live[:, :, None]
     )                                                            # [B, hist, C]
 
-    def gather(arr, spec):  # slot axis is the 'c' of spec; bar region zeroed
+    def gather(arr, spec):  # slot axis is last ('c' → 'j'); bar zeroed
         if arr.dtype == jnp.int8:
             # 0/1 matrix: the int8 contraction is exact; results stay in
             # int8 range because each output slot matches at most one input.
@@ -183,9 +190,9 @@ def compact_window(cache, win_start: jnp.ndarray, cur: jnp.ndarray,
         else:
             hist_part = jnp.einsum(spec, match.astype(arr.dtype), arr)
         pad_shape = list(hist_part.shape)
-        pad_shape[-arr.ndim + 2] = C - hist  # same axis position as 'c'
+        pad_shape[-1] = C - hist
         return jnp.concatenate(
-            [hist_part, jnp.zeros(pad_shape, arr.dtype)], axis=-arr.ndim + 2
+            [hist_part, jnp.zeros(pad_shape, arr.dtype)], axis=-1
         )
 
     new_slot_pos = jnp.concatenate(
@@ -194,13 +201,13 @@ def compact_window(cache, win_start: jnp.ndarray, cur: jnp.ndarray,
         axis=1,
     )
     out = {
-        "k": gather(cache["k"], "bjc,lbchd->lbjhd"),
-        "v": gather(cache["v"], "bjc,lbchd->lbjhd"),
+        "k": gather(cache["k"], "bjc,lbhdc->lbhdj"),
+        "v": gather(cache["v"], "bjc,lbhdc->lbhdj"),
         "slot_pos": new_slot_pos,
     }
     for key in ("k_scale", "v_scale"):
         if key in cache:
-            out[key] = gather(cache[key], "bjc,lbch->lbjh")
+            out[key] = gather(cache[key], "bjc,lbhc->lbhj")
     return out
 
 
@@ -256,8 +263,8 @@ def stream_chunk(
     bias = jnp.where(visible, 0.0, -1e9).astype(jnp.float32)
 
     # Python loop over layers with STATIC layer indices. A lax.scan carrying
-    # the stacked [L, B, C, H, D] cache as xs/ys rebuilds the whole stacked
-    # array every call (each layer's [B, C, H, D] slice is read, updated and
+    # the stacked [L, ...] cache as xs/ys rebuilds the whole stacked
+    # array every call (each layer's slice is read, updated and
     # re-stacked into a fresh ys buffer) — measured ~3x the pure attention-
     # read traffic per decode step. Static indexing keeps the cache threaded
     # linearly, so the only cache traffic is the (l, slot) DUS write and the
@@ -276,42 +283,47 @@ def stream_chunk(
         q = _apply_rotary_pos(q.astype(jnp.float32), cos, sin, config.rotary_dim)
         k = _apply_rotary_pos(k.astype(jnp.float32), cos, sin, config.rotary_dim)
 
+        # Write layout: cache is [L, B, H, D, C] (slot axis in lanes).
         if quant:
             k_w, ks_w = _quantize_kv(k)
             v_w, vs_w = _quantize_kv(v.astype(jnp.float32))
             new_ks = jax.lax.dynamic_update_slice(
-                new_ks, ks_w[None], (layer_idx, 0, slot_offset, 0)
+                new_ks, ks_w.transpose(0, 2, 1)[None],
+                (layer_idx, 0, 0, slot_offset),
             )
             new_vs = jax.lax.dynamic_update_slice(
-                new_vs, vs_w[None], (layer_idx, 0, slot_offset, 0)
+                new_vs, vs_w.transpose(0, 2, 1)[None],
+                (layer_idx, 0, 0, slot_offset),
             )
         else:
             k_w = k.astype(new_k.dtype)
             v_w = v.astype(new_v.dtype)
         new_k = jax.lax.dynamic_update_slice(
-            new_k, k_w[None], (layer_idx, 0, slot_offset, 0, 0)
+            new_k, k_w.transpose(0, 2, 3, 1)[None],
+            (layer_idx, 0, 0, 0, slot_offset),
         )
         new_v = jax.lax.dynamic_update_slice(
-            new_v, v_w[None], (layer_idx, 0, slot_offset, 0, 0)
+            new_v, v_w.transpose(0, 2, 3, 1)[None],
+            (layer_idx, 0, 0, 0, slot_offset),
         )
 
         if quant:
             # Per-slot scales factor out of the D-contraction: the score dot
-            # runs int8×int8 → s32 (halved HBM read; the MXU runs int8
-            # natively), scales applied to the s32 result.
+            # runs int8×int8 → s32 (halved HBM read), scales applied to the
+            # s32 result.
             q_q, q_s = _quantize_kv(q)
             s32 = jnp.einsum(
-                "bqhd,bkhd->bhqk", q_q, new_k[layer_idx],
+                "bqhd,bhdc->bhqc", q_q, new_k[layer_idx],
                 preferred_element_type=jnp.int32,
             )
             scores = (
                 s32.astype(jnp.float32)
                 * q_s.transpose(0, 2, 1)[:, :, :, None]
-                * new_ks[layer_idx].transpose(0, 2, 1)[:, :, None, :]
+                * new_ks[layer_idx][:, :, None, :]
             ) / np.sqrt(head_dim)
         else:
             scores = jnp.einsum(
-                "bqhd,bkhd->bhqk",
+                "bqhd,bhdc->bhqc",
                 q.astype(compute_dtype), new_k[layer_idx].astype(compute_dtype),
                 preferred_element_type=jnp.float32,
             ) / np.sqrt(head_dim)
@@ -322,14 +334,14 @@ def stream_chunk(
         if quant:
             # Fold the V slot scales into the probabilities, quantize the
             # result per (stream, head, query) and contract int8×int8.
-            pv = probs * new_vs[layer_idx].transpose(0, 2, 1)[:, :, None, :]
+            pv = probs * new_vs[layer_idx][:, :, None, :]
             p_amax = jnp.max(pv, axis=-1)
             p_scale = p_amax / 127.0
             p_q = jnp.round(
                 pv / jnp.maximum(p_scale[..., None], 1e-12)
             ).astype(jnp.int8)
             c32 = jnp.einsum(
-                "bhqk,bkhd->bqhd", p_q, new_v[layer_idx],
+                "bhqc,bhdc->bqhd", p_q, new_v[layer_idx],
                 preferred_element_type=jnp.int32,
             )
             ctx = (
@@ -338,7 +350,7 @@ def stream_chunk(
             ).astype(compute_dtype)
         else:
             ctx = jnp.einsum(
-                "bhqk,bkhd->bqhd", probs.astype(compute_dtype),
+                "bhqc,bhdc->bqhd", probs.astype(compute_dtype),
                 new_v[layer_idx].astype(compute_dtype),
             )
         attn_out = jnp.einsum(

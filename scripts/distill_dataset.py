@@ -216,6 +216,19 @@ class TrackerGrid:
         }
 
 
+def arbitrate_grid(tracker_tempo, tracker_score, rgc_tempo, rgc_score):
+    """Per-song grid choice shared by corpus build and evaluation. The snap
+    score is blind to downbeat PHASE and time signature (any grid with the
+    right period snaps), and those are exactly what the tracker MEASURES
+    while the RGC fallback assumes 4/4 anchored at the first onset — so the
+    tracker wins whenever its snap is in the same league."""
+    if tracker_score is None:
+        tracker_score = np.inf
+    if tracker_tempo and tracker_score <= max(1.5 * rgc_score, 0.015):
+        return tracker_tempo, "tracker"
+    return rgc_tempo, "rgc"
+
+
 _PIANO_LO, _PIANO_HI = 21, 108
 
 
@@ -306,13 +319,9 @@ def main(argv=None) -> int:
                     else np.inf
             if tracker_score is None:
                 tracker_score = np.inf
-            # Arbitration: the snap score is blind to downbeat PHASE and
-            # time signature (any grid with the right period snaps), and
-            # those are exactly what the tracker MEASURES while the RGC
-            # fallback assumes 4/4 anchored at the first onset — so the
-            # tracker wins whenever its snap is in the same league.
-            if tracker_tempo and tracker_score <= max(1.5 * rgc_score, 0.015):
-                tempo, chosen = tracker_tempo, "tracker"
+            tempo, chosen = arbitrate_grid(
+                tracker_tempo, tracker_score, tempo, rgc_score
+            )
             logger.info(
                 f"{name}: grid={chosen} "
                 f"(snap tracker {tracker_score if np.isfinite(tracker_score) else 'inf'} vs "

@@ -69,16 +69,19 @@ def song_grid(name: str, tgt_notes, dataset_dir: Path):
     """The grid the training corpus used: cached tracker grid if present
     (distill_dataset --grid tracker), else the RGC-period estimate."""
     cache = dataset_dir / "tempo" / f"{name}.json"
+    rgc_tempo = estimate_tempo_grid(tgt_notes)
     if cache.exists():
+        from distill_dataset import arbitrate_grid
+
         data = json.loads(cache.read_text())
         tempo = data.get("tempo")
         if tempo:
-            rgc_tempo = estimate_tempo_grid(tgt_notes)
             rgc_score = _snap_score(tgt_notes, rgc_tempo)
-            trk_score = data.get("score")
-            if trk_score is not None and trk_score <= rgc_score:
-                return tempo
-    return estimate_tempo_grid(tgt_notes)
+            chosen, _ = arbitrate_grid(
+                tempo, data.get("score"), rgc_tempo, rgc_score
+            )
+            return chosen
+    return rgc_tempo
 
 
 def _snap_score(notes, tempo):
