@@ -419,6 +419,214 @@ def run_amt_corpus(args):
     return mean_f1
 
 
+# --------------------------------------------------- beat corpus fine-tune
+def _beat_act_from_times(times, down_times, start_frame, T, fps):
+    """Beat/downbeat times (song-absolute seconds) → widened activation
+    targets for a [start_frame, start_frame+T) feature window (the same
+    madmom-style ±1-frame 0.5 widening as synth_beat_example)."""
+    act = np.zeros((T, 2), np.float32)
+    down = set(np.round(np.asarray(down_times) * fps).astype(int).tolist())
+    for t in np.asarray(times):
+        frame = int(round(t * fps)) - start_frame
+        is_down = int(round(t * fps)) in down
+        for d, w in ((-1, 0.5), (0, 1.0), (1, 0.5)):
+            f = frame + d
+            if 0 <= f < T:
+                act[f, 0] = max(act[f, 0], w)
+                if is_down:
+                    act[f, 1] = max(act[f, 1], w)
+    return act
+
+
+def prepare_beat_feature_cache(song_dirs, cache_dir: Path, seconds: float,
+                               snap_gate: float,
+                               versions=("etude_d", "etude_d_d")):
+    """One-time serving-chain feature cache for beat fine-tuning.
+
+    Per (song, version) with a snap-gated grid (the decoder output MIDIs are
+    grid-quantized by construction — scripts/validate_beat_corpus.py):
+    44.1 kHz render → int16 WAV → SourceSeparator serving features
+    [5, T, 128] dB, cached as f16 npz with the grid's beat/downbeat times.
+    """
+    from etude_tpu.data.separation import SourceSeparator
+    from etude_tpu.data.synthetic import render_piano
+    from etude_tpu.utils.audio import save_wav
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from validate_beat_corpus import grid_beat_times, snap_gated_song
+
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    separator = None
+    entries = []
+    for d in song_dirs:
+        for version in versions:
+            out = cache_dir / f"{d.name}_{version}.npz"
+            if out.exists():
+                entries.append(out)
+                continue
+            gated = snap_gated_song(d / f"{version}.mid", seconds, snap_gate)
+            if gated is None:
+                continue
+            notes, tempo, _snap = gated
+            if separator is None:
+                separator = SourceSeparator(
+                    model_path=REPO / "checkpoints" / "separator" / "latest.ckpt"
+                )
+            horizon = max(n["offset"] for n in notes)
+            wav = Path("/tmp/beat_cache_render.wav")
+            save_wav(wav, render_piano(notes, horizon + 1.0, sr=44100), 44100)
+            features = separator.separate_features(wav)
+            beats = grid_beat_times(tempo, horizon)
+            downs = np.asarray(
+                [t for r in tempo for t in r["downbeats"]], np.float32
+            )
+            np.savez_compressed(
+                out, features=features.astype(np.float16),
+                beat_times=beats.astype(np.float32), downbeat_times=downs,
+                bpm=np.float32(tempo[0]["bpm"]),
+            )
+            entries.append(out)
+            logger.info(f"[beat-corpus cache] {out.name}: "
+                        f"{features.shape[1]} frames, {len(beats)} beats")
+    return entries
+
+
+def run_beat_corpus(args):
+    """Fine-tune the Beat-Transformer on rendered-corpus covers through the
+    serving feature chain (render → separator U-Net → dB mel), mixed with
+    synthetic scenes so the multi-stem skill is retained — the same recipe
+    that closed the extractor's real-audio gap (run_amt_corpus). Solo-piano
+    covers are far off the synthetic-scene distribution (measured mean beat
+    F 0.34 before this fine-tune, scripts/validate_beat_corpus.py)."""
+    from etude_tpu.config.schema import BeatDetectorConfig
+    from etude_tpu.data import corpus_render as cr
+    from etude_tpu.data.beat_detector import BeatDetector
+    from etude_tpu.data.separation import SourceSeparator
+    from etude_tpu.data.synthetic import BEAT_FPS, beat_f_measure
+    from etude_tpu.models import beat_transformer as bt
+    from etude_tpu.ops.dbn import DBNBeatTracker
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from validate_beat_corpus import validate
+
+    config = bt.BeatTransformerConfig()
+    params = bt.init_params(config, seed=args.seed)
+    init_from = getattr(args, "init_from", None) or str(
+        REPO / "checkpoints" / "beat_detector" / "latest.ckpt"
+    )
+    if Path(init_from).exists():
+        from etude_tpu.utils.training import load_params_only
+
+        params = load_params_only(init_from, params)
+        logger.info(f"warm start from {init_from}")
+    else:
+        init_from = None
+        logger.warn("no warm-start checkpoint found; training from scratch")
+
+    train_dirs, eval_dirs = cr.split_songs(cr.corpus_song_dirs())
+    if args.corpus_limit:
+        train_dirs = train_dirs[:args.corpus_limit]
+        eval_dirs = eval_dirs[:max(args.corpus_limit // 4, 1)]
+    cache_dir = REPO / "outputs" / "beat_corpus_cache"
+    logger.info(f"corpus: {len(train_dirs)} train songs, "
+                f"{len(eval_dirs)} held-out ({', '.join(d.name for d in eval_dirs)})")
+    entries = prepare_beat_feature_cache(
+        train_dirs, cache_dir, seconds=args.eval_seconds + 60.0,
+        snap_gate=0.02,
+    )
+    if not entries:
+        logger.error("no cached beat-corpus features; aborting")
+        return 0.0
+    logger.info(f"feature cache: {len(entries)} song-versions")
+    # Read-only after this point: shared safely across prefetch workers.
+    cache = {}
+    for p in entries:
+        z = np.load(p)
+        cache[p.name] = {k: z[k] for k in z.files}
+    names = sorted(cache)
+
+    T = args.beat_frames
+    corpus_frac = 0.5
+
+    def corpus_example(r):
+        e = cache[names[int(r.integers(len(names)))]]
+        T_song = e["features"].shape[1]
+        if T_song <= T + 2:
+            return None
+        s = int(r.integers(0, T_song - T))
+        x = e["features"][:, s:s + T].astype(np.float32)
+        act = _beat_act_from_times(e["beat_times"], e["downbeat_times"],
+                                   s, T, BEAT_FPS)
+        tempo = np.int32(np.clip(round(float(e["bpm"])), 0, 299))
+        return {"x": x, "activations": act, "tempo": tempo}
+
+    def gen(i):
+        r = np.random.default_rng((args.seed, i))
+        xs, acts, tempos = [], [], []
+        for _ in range(args.batch):
+            ex = corpus_example(r) if r.random() < corpus_frac else None
+            if ex is None:
+                s = syn.synth_beat_example(r, T=T)
+                ex = {"x": s["x"], "activations": s["activations"],
+                      "tempo": s["tempo"]}
+            xs.append(ex["x"])
+            acts.append(ex["activations"])
+            tempos.append(ex["tempo"])
+        return {"x": np.stack(xs), "activations": np.stack(acts),
+                "tempo": np.stack(tempos)}
+
+    def loss(p, batch):
+        return bt.loss_fn(p, config, batch)
+
+    params, stats = train_loop("beat-corpus", params, loss, gen,
+                               args.steps, args.lr, workers=2)
+
+    # Held-out eval 1: rendered corpus songs through the FULL chain
+    # (render → separator → forward → DBN), the serving-domain number.
+    separator = SourceSeparator(
+        model_path=REPO / "checkpoints" / "separator" / "latest.ckpt"
+    )
+    detector = BeatDetector(BeatDetectorConfig(), params=params)
+    corpus_summary = validate(separator, detector, eval_dirs,
+                              n_songs=len(eval_dirs),
+                              seconds=args.eval_seconds, snap_gate=0.02)
+    logger.success(
+        f"beat-corpus F (held-out corpus, full chain): "
+        f"{corpus_summary['mean_beat_f']}"
+    )
+
+    # Held-out eval 2: synthetic scenes (retention check).
+    eval_rng = np.random.default_rng(args.seed + 10_000)
+    tracker = DBNBeatTracker(min_bpm=70, max_bpm=250, fps=BEAT_FPS)
+    fwd = jax.jit(lambda p, x: jax.nn.sigmoid(bt.forward(p, config, x)[0]))
+    scores = []
+    for _ in range(args.eval_clips):
+        ex = syn.synth_beat_example(eval_rng, T=T)
+        act = np.asarray(fwd(params, ex["x"][None])[0], np.float32)
+        scores.append(beat_f_measure(tracker(act[:, 0]), ex["beat_times"]))
+    synth_f = float(np.mean(scores))
+    logger.success(f"beat F (held-out synthetic, retention): {synth_f:.3f}")
+
+    stats.update({
+        "beat_f_corpus": corpus_summary["mean_beat_f"],
+        "beat_f_corpus_octave": corpus_summary["mean_beat_f_octave"],
+        "beat_f_per_song": {r["song"]: r["beat_f"]
+                            for r in corpus_summary["songs"]},
+        "beat_f_synthetic": synth_f,
+        "corpus": "rendered-corpus(serving-chain)+synthetic-scenes",
+        "corpus_frac": corpus_frac,
+        "train_song_versions": len(entries),
+        "eval_songs": [d.name for d in eval_dirs],
+        "warm_start": init_from,
+        "train_frames": T,
+        "model": "BeatTransformerConfig()",
+    })
+    out = REPO / "checkpoints" / "beat_detector" / "latest.ckpt"
+    save_aux_params(out, params, metadata=stats)
+    logger.success(f"saved {out}")
+    return corpus_summary["mean_beat_f"]
+
+
 # ---------------------------------------------------------------- separator
 def run_separator(args):
     from etude_tpu.data.synthetic import stem_sdr
@@ -477,7 +685,8 @@ def run_separator(args):
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
-        "model", choices=["beat", "amt", "amt-corpus", "separator", "all"]
+        "model",
+        choices=["beat", "beat-corpus", "amt", "amt-corpus", "separator", "all"],
     )
     parser.add_argument("--steps", type=int, default=1500)
     parser.add_argument("--batch", type=int, default=None)
@@ -490,14 +699,18 @@ def main(argv=None) -> int:
                         help="warm-start params checkpoint (amt)")
     parser.add_argument("--eval-seconds", type=float, default=120.0,
                         help="per-song audio horizon for amt-corpus eval")
+    parser.add_argument("--corpus-limit", type=int, default=0,
+                        help="cap train/eval songs (beat-corpus smoke runs)")
     args = parser.parse_args(argv)
 
-    defaults = {"beat": (8, 5e-4), "amt": (4, 4e-4), "amt-corpus": (4, 1.5e-4),
+    defaults = {"beat": (8, 5e-4), "beat-corpus": (8, 1.5e-4),
+                "amt": (4, 4e-4), "amt-corpus": (4, 1.5e-4),
                 "separator": (4, 1e-3)}
     targets = ["beat", "amt", "separator"] if args.model == "all" else [args.model]
     for name in targets:
         batch, lr = defaults[name]
-        run = {"beat": run_beat, "amt": run_amt, "amt-corpus": run_amt_corpus,
+        run = {"beat": run_beat, "beat-corpus": run_beat_corpus,
+               "amt": run_amt, "amt-corpus": run_amt_corpus,
                "separator": run_separator}[name]
         sub = argparse.Namespace(**vars(args))
         sub.batch = args.batch or batch

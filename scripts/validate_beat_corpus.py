@@ -53,6 +53,79 @@ def grid_beat_times(tempo, horizon: float) -> np.ndarray:
     return np.asarray(beats)
 
 
+def snap_gated_song(mid: Path, seconds: float, snap_gate: float):
+    """MIDI → (notes, tempo grid) when the song's onsets snap to a constant
+    grid tightly enough for that grid to serve as beat ground truth; None
+    otherwise."""
+    if not mid.exists():
+        return None
+    notes = [n for n in read_midi_notes(mid) if n["onset"] < seconds]
+    if len(notes) < 64:
+        return None
+    tempo = estimate_tempo_grid(notes)
+    snap = grid_fit_score(notes, tempo) if tempo else np.inf
+    if not np.isfinite(snap) or snap > snap_gate:
+        return None
+    return notes, tempo, float(snap)
+
+
+def score_song(separator, detector, notes, tempo, wav=Path("/tmp/beat_validate.wav")):
+    """Render → serving features → beat forward → DBN → F vs grid beats.
+
+    Returns (row dict, est beat times) or None when the grid is too short.
+    """
+    horizon = max(n["offset"] for n in notes)
+    save_wav(wav, render_piano(notes, horizon + 1.0, sr=44100), 44100)
+    features = separator.separate_features(wav, return_device=True)
+    pred = detector.detect(features, cleanup_input=False)
+    est = np.asarray(pred["beat_pred"], float)
+    ref = grid_beat_times(tempo, horizon)
+    if len(ref) < 8:
+        return None
+    f = beat_f_measure(est, ref)
+    # The DBN may lock to half/double time legitimately; also score the
+    # standard double/half-tempo references and report the best (the
+    # common "beat F-measure with octave tolerance" diagnostic).
+    f_half = beat_f_measure(est, ref[::2])
+    ref_dbl = np.sort(np.concatenate([ref, ref[:-1] + np.diff(ref) / 2]))
+    f_dbl = beat_f_measure(est, ref_dbl)
+    return {
+        "beat_f": round(f, 4),
+        "beat_f_octave": round(max(f, f_half, f_dbl), 4),
+        "n_est": len(est), "n_ref": len(ref),
+    }
+
+
+def validate(separator, detector, song_dirs, n_songs: int, seconds: float,
+             snap_gate: float, version: str = "etude_d"):
+    rows, skipped = [], 0
+    for d in song_dirs:
+        if len(rows) >= n_songs:
+            break
+        gated = snap_gated_song(d / f"{version}.mid", seconds, snap_gate)
+        if gated is None:
+            skipped += 1
+            continue
+        notes, tempo, snap = gated
+        row = score_song(separator, detector, notes, tempo)
+        if row is None:
+            continue
+        row.update({"song": d.name, "snap_dev_s": round(snap, 4)})
+        rows.append(row)
+        logger.info(f"{d.name}: beat F {row['beat_f']:.3f} (octave-tolerant "
+                    f"{row['beat_f_octave']:.3f}, {row['n_est']} est vs "
+                    f"{row['n_ref']} ref beats)")
+    return {
+        "songs": rows,
+        "snap_gated_out": skipped,
+        "mean_beat_f": round(float(np.mean([r["beat_f"] for r in rows])), 4)
+        if rows else None,
+        "mean_beat_f_octave": round(
+            float(np.mean([r["beat_f_octave"] for r in rows])), 4
+        ) if rows else None,
+    }
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--songs", type=int, default=10)
@@ -61,6 +134,9 @@ def main(argv=None) -> int:
                         help="max mean onset-to-grid deviation (s) for a "
                              "song's grid to count as ground truth")
     parser.add_argument("--corpus", default="/root/reference/docs/songs")
+    parser.add_argument("--held-out-only", action="store_true",
+                        help="score only the corpus_render eval split (songs "
+                             "never used for fine-tuning)")
     args = parser.parse_args(argv)
 
     from etude_tpu.config.schema import BeatDetectorConfig
@@ -75,57 +151,13 @@ def main(argv=None) -> int:
         model_path=REPO / "checkpoints" / "beat_detector" / "latest.ckpt",
     )
 
-    rows, skipped = [], 0
-    for d in sorted(Path(args.corpus).iterdir()):
-        if len(rows) >= args.songs:
-            break
-        mid = d / "etude_d.mid"
-        if not mid.exists():
-            continue
-        notes = [n for n in read_midi_notes(mid) if n["onset"] < args.seconds]
-        if len(notes) < 64:
-            continue
-        tempo = estimate_tempo_grid(notes)
-        snap = grid_fit_score(notes, tempo) if tempo else np.inf
-        if not np.isfinite(snap) or snap > args.snap_gate:
-            skipped += 1
-            continue
+    dirs = sorted(Path(args.corpus).iterdir())
+    if args.held_out_only:
+        from etude_tpu.data.corpus_render import corpus_song_dirs, split_songs
 
-        horizon = max(n["offset"] for n in notes)
-        wav = Path("/tmp/beat_validate.wav")
-        save_wav(wav, render_piano(notes, horizon + 1.0, sr=44100), 44100)
-        features = separator.separate_features(wav, return_device=True)
-        pred = detector.detect(features, cleanup_input=False)
-        est = np.asarray(pred["beat_pred"], float)
-        ref = grid_beat_times(tempo, horizon)
-        if len(ref) < 8:
-            continue
-        f = beat_f_measure(est, ref)
-        # The DBN may lock to half/double time legitimately; also score the
-        # standard double/half-tempo references and report the best (the
-        # common "beat F-measure with octave tolerance" diagnostic).
-        f_half = beat_f_measure(est, ref[::2])
-        ref_dbl = np.sort(np.concatenate([ref, ref[:-1] + np.diff(ref) / 2]))
-        f_dbl = beat_f_measure(est, ref_dbl)
-        rows.append({
-            "song": d.name, "beat_f": round(f, 4),
-            "beat_f_octave": round(max(f, f_half, f_dbl), 4),
-            "snap_dev_s": round(float(snap), 4),
-            "n_est": len(est), "n_ref": len(ref),
-        })
-        logger.info(f"{d.name}: beat F {f:.3f} (octave-tolerant "
-                    f"{rows[-1]['beat_f_octave']:.3f}, {len(est)} est vs "
-                    f"{len(ref)} ref beats)")
-
-    summary = {
-        "songs": rows,
-        "snap_gated_out": skipped,
-        "mean_beat_f": round(float(np.mean([r["beat_f"] for r in rows])), 4)
-        if rows else None,
-        "mean_beat_f_octave": round(
-            float(np.mean([r["beat_f_octave"] for r in rows])), 4
-        ) if rows else None,
-    }
+        _, dirs = split_songs(corpus_song_dirs(Path(args.corpus)))
+    summary = validate(separator, detector, dirs, args.songs, args.seconds,
+                       args.snap_gate)
     print(json.dumps(summary))
     return 0
 
