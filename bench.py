@@ -137,9 +137,13 @@ def main() -> None:
         ]
     attrs = [{k: 1 for k in ATTR_KEYS} for _ in range(len(bars))]
 
+    # prompt_cap 512 = the reference's effective window (max_pos 1024 −
+    # max_bar_token_limit 512, etude/config/schema.py:222-226). Without it
+    # the engine derives cap 1024 − MAX_BAR_TOKENS = 896, a LARGER history
+    # window than the reference ever attends — slower and not parity.
     engine = StreamingGenerationEngine(
         config, bar_bos_id=BOS, bar_eos_id=EOS, pad_id=PAD,
-        max_bar_token_limit=MAX_BAR_TOKENS,
+        max_bar_token_limit=MAX_BAR_TOKENS, prompt_cap=512,
         x_len_buckets=(128,), bars_bucket=N_BARS,
     )
 

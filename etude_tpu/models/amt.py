@@ -12,8 +12,9 @@ refined second-stage heads. Heads: onset/offset/frame(MPE) sigmoids and a
 TPU-first design:
   * pure params-pytree model; repeated layers stacked along [L] and run with
     `lax.scan` (one compiled layer body);
-  * the spectral window conv is expressed as shifted-slice einsums (MXU
-    matmuls), no im2col blowup;
+  * the window-conv → flatten → token-embedding chain is linear end to end,
+    so it is folded into a single 1 x n_proc convolution with H output
+    features (no windowing gather, no [B,T,nbin,C*n_out] im2col blowup);
   * whole songs are processed as one batched [segments, ...] forward instead
     of the reference's serial batch-1 loop (etude/data/extractor.py:227).
 """
@@ -191,21 +192,36 @@ def forward(
     n_proc = config.n_proc
     dtype = compute_dtype
 
-    # Per-frame spectral windows: [B, T, n_bin, n_proc].
-    t_idx = jnp.arange(n_proc)[None, :] + jnp.arange(T)[:, None]
-    windows = jnp.transpose(spec[:, :, t_idx], (0, 2, 1, 3)).astype(dtype)
-
-    # Window conv (1 x K, C channels) as K shifted slices — no im2col.
-    kern = params["conv"]["w"].astype(dtype)
-    conv = jnp.zeros((B, T, nbin, C, n_out), dtype)
+    # Fused spectral front-end. The reference chain — window conv (1 x K,
+    # C channels) over per-frame spectral windows, flatten to C*n_out, then
+    # the token-embedding linear (amt_apc.py:65-110) — is linear end to end,
+    # so it collapses into ONE 1 x n_proc convolution with H output features:
+    #   x[b,τ,f,h] = Σ_u spec[b,f,τ+u] · Wf[u,h] + bf[h]
+    #   Wf[u,h]    = Σ_c Σ_{t+o=u} kern[c,t] · W_emb[(c,o),h]
+    # This removes the [B,T,nbin,n_proc] windowing gather and the
+    # [B,T,nbin,C*n_out] feature materialization (~0.5 GB per segment batch
+    # under TPU tiling) and halves the front-end matmul FLOPs. Wf is tiny
+    # (n_proc x H) and folded in f32 each call.
+    kern = params["conv"]["w"].astype(jnp.float32)                 # [C, K]
+    w_emb = params["tok_emb"]["w"].astype(jnp.float32).reshape(C, n_out, H)
+    wf = jnp.zeros((n_proc, H), jnp.float32)
     for t in range(K):
-        conv = conv + kern[:, t][None, None, None, :, None] * windows[
-            ..., None, t:t + n_out
-        ]
-    conv = conv + params["conv"]["b"].astype(dtype)[None, None, None, :, None]
-    feat = conv.reshape(B, T, nbin, C * n_out)
-
-    x = feat @ params["tok_emb"]["w"].astype(dtype) + params["tok_emb"]["b"].astype(dtype)
+        wf = wf.at[t:t + n_out].add(
+            jnp.einsum("c,coh->oh", kern[:, t], w_emb)
+        )
+    bias_f = (
+        jnp.einsum("c,coh->h", params["conv"]["b"].astype(jnp.float32), w_emb)
+        + params["tok_emb"]["b"].astype(jnp.float32)
+    )
+    # [B, 1, nbin, T + n_proc - 1] ⊛ [H, 1, 1, n_proc] → [B, H, nbin, T].
+    x = jax.lax.conv_general_dilated(
+        spec[:, None].astype(dtype),
+        jnp.transpose(wf, (1, 0))[:, None, None, :].astype(dtype),
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )
+    x = jnp.transpose(x, (0, 3, 2, 1)).astype(dtype) + bias_f.astype(dtype)
     x = x * np.sqrt(H) + params["freq_pos_emb"].astype(dtype)[None, None]
 
     # Frequency self-attention encoder over the bin axis.

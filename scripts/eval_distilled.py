@@ -102,6 +102,9 @@ def main(argv=None) -> int:
     parser.add_argument("--oracle-attrs", action="store_true")
     parser.add_argument("--engine", choices=["rebuild", "stream"],
                         default="rebuild")
+    parser.add_argument("--kv-quant", action="store_true",
+                        help="stream engine int8 KV cache (quality gate for "
+                             "enabling it in serving/bench)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -115,7 +118,7 @@ def main(argv=None) -> int:
 
         engine = StreamingGenerationEngine(
             config, vocab.bar_bos_id, vocab.bar_eos_id, pad_id=vocab.pad_id,
-            max_bar_token_limit=64,
+            max_bar_token_limit=64, kv_quant=args.kv_quant,
         )
     else:
         engine = GenerationEngine(
