@@ -178,6 +178,11 @@ def compact_window(cache, win_start: jnp.ndarray, cur: jnp.ndarray,
     match = (cache["slot_pos"][:, None, :] == target_pos[:, :, None]) & (
         live[:, :, None]
     )                                                            # [B, hist, C]
+    # A target position with NO source slot (it was physically dropped by an
+    # earlier, further-forward truncation: win_start regressed, which happens
+    # whenever prompt_keep < prompt_cap - 1) must stay dead — marking it live
+    # would expose zero-K/V phantom keys to every later softmax.
+    live = live & jnp.any(match, axis=2)
 
     def gather(arr, spec):  # slot axis is last ('c' → 'j'); bar zeroed
         if arr.dtype == jnp.int8:

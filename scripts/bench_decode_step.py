@@ -18,6 +18,14 @@ Usage: python scripts/bench_decode_step.py [--batches 1 16] [--n1 64] [--n2 192]
 
 from __future__ import annotations
 
+import os
+
+# Must land in os.environ BEFORE jax is imported anywhere in this
+# process: jax freezes the compilation-cache default at import time, so
+# the same setdefault in etude_tpu.__init__ is a no-op for scripts that
+# import jax first (100-900 s recompiles per program on the hosted TPU).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+
 import argparse
 import functools
 import json
@@ -125,9 +133,8 @@ def main(argv=None) -> int:
         out[f"step_b{B}_c{args.cache_lens[0]}_greedy_ms"] = round(
             timed(B, args.cache_lens[0], greedy=True), 4
         )
-        print(json.dumps(out))
 
-    print(json.dumps(out))
+    print(json.dumps(out))  # ONE aggregate line, after all batch sizes
     return 0
 
 

@@ -12,6 +12,14 @@ Usage: python scripts/bench_e2e.py [--seconds 240] [--song CPOP01]
 
 from __future__ import annotations
 
+import os
+
+# Must land in os.environ BEFORE jax is imported anywhere in this
+# process: jax freezes the compilation-cache default at import time, so
+# the same setdefault in etude_tpu.__init__ is a no-op for scripts that
+# import jax first (100-900 s recompiles per program on the hosted TPU).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+
 import argparse
 import json
 import shutil

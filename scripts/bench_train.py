@@ -8,6 +8,14 @@ tokens/sec at the reference's training shape (batch 8 × accum 4, seqlen
 
 from __future__ import annotations
 
+import os
+
+# Must land in os.environ BEFORE jax is imported anywhere in this
+# process: jax freezes the compilation-cache default at import time, so
+# the same setdefault in etude_tpu.__init__ is a no-op for scripts that
+# import jax first (100-900 s recompiles per program on the hosted TPU).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+
 import json
 import sys
 import time

@@ -224,7 +224,12 @@ def arbitrate_grid(tracker_tempo, tracker_score, rgc_tempo, rgc_score):
     tracker wins whenever its snap is in the same league."""
     if tracker_score is None:
         tracker_score = np.inf
-    if tracker_tempo and tracker_score <= max(1.5 * rgc_score, 0.015):
+    # A non-finite tracker snap must never win: inf <= max(1.5*inf, ...) is
+    # True, which would select a degenerate (<8-slot) tracker grid over the
+    # fallback whenever BOTH scores are inf.
+    if tracker_tempo and np.isfinite(tracker_score) and (
+        tracker_score <= max(1.5 * rgc_score, 0.015)
+    ):
         return tracker_tempo, "tracker"
     return rgc_tempo, "rgc"
 
@@ -315,9 +320,7 @@ def main(argv=None) -> int:
                     {"tempo": tracker_tempo, "score": tracker_score
                      if np.isfinite(tracker_score) else None}
                 ))
-                tracker_score = tracker_score if tracker_score is not None \
-                    else np.inf
-            if tracker_score is None:
+            if tracker_score is None:  # cached non-finite scores store None
                 tracker_score = np.inf
             tempo, chosen = arbitrate_grid(
                 tracker_tempo, tracker_score, tempo, rgc_score

@@ -116,9 +116,14 @@ def main(argv=None) -> int:
     if args.engine == "stream":
         from etude_tpu.models.generate_stream import StreamingGenerationEngine
 
+        # prompt_cap 512 = the reference's effective window (max_pos 1024 −
+        # its default bar limit 512); without the override the engine derives
+        # cap 1024 − 64 = 960 from the eval-speed bar limit. 512 also keeps
+        # prompt_keep == cap − 1 (monotone win_start), matching the rebuild
+        # engine's 512-token prompt bucket below.
         engine = StreamingGenerationEngine(
             config, vocab.bar_bos_id, vocab.bar_eos_id, pad_id=vocab.pad_id,
-            max_bar_token_limit=64, kv_quant=args.kv_quant,
+            max_bar_token_limit=64, prompt_cap=512, kv_quant=args.kv_quant,
         )
     else:
         engine = GenerationEngine(
@@ -179,7 +184,25 @@ def main(argv=None) -> int:
             all_attrs.extend(attrs)
         prepared.append(entry)
 
-    edges = calculate_bin_edges(all_attrs) if all_attrs else None
+    # Oracle bins must use the edges the distillation TRAINING fit — the
+    # dataset-global mean±k·std edges over the full tokenized corpus — not
+    # edges refit on the small eval subset (which shift with --songs and
+    # re-bin bars differently than training saw them).
+    edges = None
+    if args.oracle_attrs:
+        tokenized = dataset_dir / "tokenized"
+        if tokenized.exists():
+            from etude_tpu.data.dataset import EtudeDataset
+
+            edges = EtudeDataset(
+                tokenized, vocab, max_seq_len=1024
+            ).attribute_bin_edges
+        else:
+            logger.warn(
+                f"{tokenized} missing; oracle bin edges fall back to the "
+                f"{len(songs)}-song eval subset"
+            )
+            edges = calculate_bin_edges(all_attrs) if all_attrs else None
 
     rgc, ipe = RGCCalculator(top_k=8), IPECalculator(n_gram=8, n_clusters=16)
     rows = []

@@ -84,11 +84,15 @@ def main(argv=None) -> int:
             row[f"rgc_{name}"] = rgc.calculate(path).get("rgc_score")
             row[f"ipe_{name}"] = ipe.calculate(path).get("ipe_score")
         rows.append(row)
+
+        def fmt(v, spec):  # metric .get() returns None on degenerate MIDIs
+            return format(v, spec) if v is not None else "n/a"
+
         logger.info(
             f"{row['song']}: cross-F1 {row['cross_f1']:.3f} "
             f"notes {row['notes_rebuild']}/{row['notes_stream']} "
-            f"rgc {row['rgc_rebuild']:.4f}/{row['rgc_stream']:.4f} "
-            f"ipe {row['ipe_rebuild']:.2f}/{row['ipe_stream']:.2f}"
+            f"rgc {fmt(row['rgc_rebuild'], '.4f')}/{fmt(row['rgc_stream'], '.4f')} "
+            f"ipe {fmt(row['ipe_rebuild'], '.2f')}/{fmt(row['ipe_stream'], '.2f')}"
         )
 
     if not rows:

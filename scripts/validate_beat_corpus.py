@@ -151,7 +151,7 @@ def main(argv=None) -> int:
         model_path=REPO / "checkpoints" / "beat_detector" / "latest.ckpt",
     )
 
-    dirs = sorted(Path(args.corpus).iterdir())
+    dirs = sorted(p for p in Path(args.corpus).iterdir() if p.is_dir())
     if args.held_out_only:
         from etude_tpu.data.corpus_render import corpus_song_dirs, split_songs
 

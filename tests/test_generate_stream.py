@@ -234,6 +234,39 @@ def test_compact_window_preserves_logits(setup):
     np.testing.assert_allclose(after[0], before2[0], atol=1e-4, rtol=1e-4)
 
 
+def test_compact_window_regressed_start_marks_dropped_dead(setup):
+    """If win_start regresses past an earlier compaction's cut (possible
+    whenever prompt_keep < prompt_cap - 1), positions whose K/V were
+    physically dropped must come back DEAD (-1), not as live zero-K/V
+    phantom keys that dilute every later softmax."""
+    from etude_tpu.models.generate_stream import compact_window
+
+    config, params, *_ = setup
+    rng = np.random.default_rng(3)
+    B, S = 1, 16
+    ids = rng.integers(4, 32, (B, S)).astype(np.int32)
+    cls = np.full((B, S), TGT_CLASS_ID, np.int32)
+    attrs = {name: np.ones((B, S), np.int32) for name in ATTRIBUTE_ORDER}
+
+    cache = init_stream_cache(config, B, 64)
+    _, cache = stream_chunk(
+        params, config, cache, jnp.asarray(ids), jnp.asarray(cls),
+        {k: jnp.asarray(v) for k, v in attrs.items()},
+        start_pos=jnp.zeros((B,), jnp.int32),
+        win_start=jnp.zeros((B,), jnp.int32), slot_offset=jnp.int32(0),
+    )
+    cur = jnp.full((B,), S, jnp.int32)
+    # First compaction cuts to [8, 16): positions 0-7 physically dropped.
+    cache = compact_window(cache, jnp.full((B,), 8, jnp.int32), cur, hist=32)
+    # Second compaction regresses the window start to 4.
+    cache = compact_window(cache, jnp.full((B,), 4, jnp.int32), cur, hist=32)
+    sp = np.asarray(cache["slot_pos"])[0]
+    # Slots j hold target positions 4+j; 4-7 were dropped -> dead.
+    assert (sp[:4] == -1).all(), f"phantom live slots for dropped positions: {sp[:8]}"
+    np.testing.assert_array_equal(sp[4:12], np.arange(8, 16))
+    assert (sp[12:] == -1).all()
+
+
 def test_stream_window_respected(setup):
     """A key outside win_start must not influence logits: feeding garbage
     before the window start changes nothing."""
