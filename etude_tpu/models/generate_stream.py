@@ -612,11 +612,28 @@ class StreamingGenerationEngine:
         max_output_tokens: int = 25600,
         seed: int = 0,
         progress: bool = False,
+        mesh=None,
+        data_axis: str = "data",
     ) -> List[List[List[int]]]:
+        """`mesh`: optional jax.sharding.Mesh — streams are sharded over its
+        `data_axis` (params replicated), scaling batched serving (e.g. the
+        27-attribute sweep) across chips. Every per-stream op in the engine
+        is batch-parallel, so XLA partitions the whole song program with no
+        cross-device collectives beyond the initial broadcast."""
+        n_requested = len(x_bars_per_stream)
+        if mesh is not None:
+            n_dp = mesh.shape[data_axis]
+            pad_streams = (-n_requested) % n_dp
+            if pad_streams:
+                empty = [[self.bar_bos_id, self.bar_eos_id]]
+                x_bars_per_stream = list(x_bars_per_stream) + [empty] * pad_streams
+                attrs_per_stream = list(attrs_per_stream) + [
+                    [{k: 1 for k in ATTR_KEYS}]
+                ] * pad_streams
         B = len(x_bars_per_stream)
         num_bars = max(len(s) for s in x_bars_per_stream)
         if num_bars == 0:
-            return [[] for _ in range(B)]
+            return [[] for _ in range(n_requested)]
         n_ctx = self.config.context_num_past_xy_pairs
 
         max_x = max(
@@ -666,11 +683,29 @@ class StreamingGenerationEngine:
             logger.info(
                 f"streaming generation: {num_bars} bars "
                 f"(buckets: X={X}, bars={N_BARS}) in one device program"
+                + (f", {B} streams over {mesh.shape[data_axis]} devices"
+                   if mesh is not None else "")
             )
+        x_tokens_j = jnp.asarray(x_tokens)
+        x_lens_j = jnp.asarray(x_lens)
+        x_attrs_j = {k: jnp.asarray(v) for k, v in x_attrs.items()}
+        params_j = params
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def shard(a):  # stream axis over the mesh's data axis
+                spec = P(data_axis, *([None] * (a.ndim - 1)))
+                return jax.device_put(a, NamedSharding(mesh, spec))
+
+            x_tokens_j = shard(x_tokens_j)
+            x_lens_j = shard(x_lens_j)
+            x_attrs_j = {k: shard(v) for k, v in x_attrs_j.items()}
+            repl = NamedSharding(mesh, P())
+            params_j = jax.device_put(params, repl)
         y_tokens, y_counts = generate_song_stream(
-            params, self.config,
-            jnp.asarray(x_tokens), jnp.asarray(x_lens),
-            {k: jnp.asarray(v) for k, v in x_attrs.items()},
+            params_j, self.config,
+            x_tokens_j, x_lens_j,
+            x_attrs_j,
             jnp.int32(num_bars),
             jax.random.PRNGKey(seed),
             jnp.float32(temperature), jnp.float32(top_p),
@@ -688,8 +723,8 @@ class StreamingGenerationEngine:
         y_tokens = np.asarray(y_tokens)
         y_counts = np.asarray(y_counts)
 
-        outputs: List[List[List[int]]] = [[] for _ in range(B)]
-        for b in range(B):
+        outputs: List[List[List[int]]] = [[] for _ in range(n_requested)]
+        for b in range(n_requested):  # mesh-padding streams are dropped
             total = 0
             for i in range(len(x_bars_per_stream[b])):
                 # Matches the rebuild engine's budget rule: the bar that

@@ -183,6 +183,20 @@ class InferencePipeline:
                 for p in range(3) for r in range(3) for s in range(3)
             ]
             logger.step(f"Batched sweep over {len(combos)} attribute combos")
+            # Multi-chip serving: shard the 27 sweep streams over the data
+            # axis when more than one device is visible and the engine is
+            # the batch-parallel streaming one (params replicated; outputs
+            # are token-identical to the single-device run).
+            sweep_kw = {}
+            import jax as _jax
+
+            if (
+                len(_jax.devices()) > 1
+                and getattr(self, "engine_kind", "stream") == "stream"
+            ):
+                from etude_tpu.parallel.mesh import make_mesh
+
+                sweep_kw["mesh"] = make_mesh(model_parallel=1)
             streams = engine.generate_batch(
                 params,
                 [all_x_bars] * len(combos),
@@ -192,6 +206,7 @@ class InferencePipeline:
                 max_output_tokens=d.max_output_tokens,
                 seed=seed,
                 progress=True,
+                **sweep_kw,
             )
             for combo, bars in zip(combos, streams):
                 events = [
