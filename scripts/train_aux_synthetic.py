@@ -473,8 +473,13 @@ def prepare_beat_feature_cache(song_dirs, cache_dir: Path, seconds: float,
                     model_path=REPO / "checkpoints" / "separator" / "latest.ckpt"
                 )
             horizon = max(n["offset"] for n in notes)
-            wav = Path("/tmp/beat_cache_render.wav")
-            save_wav(wav, render_piano(notes, horizon + 1.0, sr=44100), 44100)
+            # Host renders are the slow part (~25 s per 4-min song on one
+            # core): a pre-rendered per-entry WAV is reused when present so
+            # rendering can be pipelined separately from the (device-bound)
+            # separator features; it is removed once the npz is written.
+            wav = cache_dir / f"{d.name}_{version}.wav"
+            if not wav.exists():
+                save_wav(wav, render_piano(notes, horizon + 1.0, sr=44100), 44100)
             features = separator.separate_features(wav)
             beats = grid_beat_times(tempo, horizon)
             downs = np.asarray(
@@ -486,6 +491,7 @@ def prepare_beat_feature_cache(song_dirs, cache_dir: Path, seconds: float,
                 bpm=np.float32(tempo[0]["bpm"]),
             )
             entries.append(out)
+            wav.unlink(missing_ok=True)  # ~40 MB each; npz supersedes it
             logger.info(f"[beat-corpus cache] {out.name}: "
                         f"{features.shape[1]} frames, {len(beats)} beats")
     return entries
