@@ -288,6 +288,8 @@ class GenerationEngine:
         against an empty condition bar and their output is discarded.
         """
         B = len(x_bars_per_stream)
+        if B == 0:
+            return []
         num_bars = max(len(s) for s in x_bars_per_stream)
         histories: List[List[Tuple]] = [[] for _ in range(B)]
         outputs: List[List[List[int]]] = [[] for _ in range(B)]

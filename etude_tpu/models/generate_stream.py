@@ -22,12 +22,17 @@ HBM:
 
 Rotary attention scores depend only on RELATIVE positions, so attending from
 a continuous stream reproduces the per-bar-rebuilt prompt's scores for
-identical window content. Semantics differ from the rebuild engine in one
-documented way: a history token's K/V is computed once, under the window it
-was generated in, rather than recomputed under each later bar's (shifted)
-window. Tokens keep the context they were generated under; the window shape
-the model sees is unchanged. Use the rebuild engine where exact reference
-logit reproduction is required.
+identical window content. Semantics differ from the rebuild engine in two
+documented ways: (1) a history token's K/V is computed once, under the
+window it was generated in, rather than recomputed under each later bar's
+(shifted) window — tokens keep the context they were generated under, the
+window shape the model sees is unchanged; (2) when prompt_keep <
+prompt_cap − 1 (non-default overlap/cap settings), positions physically
+dropped by a hard truncation stay dead even if a later bar's window opens
+early enough to reach them, where the rebuild engine would reconstruct them
+from host history (with prompt_keep == prompt_cap − 1, the default
+derivation, win_start is monotone and this case never arises). Use the
+rebuild engine where exact reference logit reproduction is required.
 
 Cache layout (the round-3 redesign; the round-2 ring buffer scaled every
 decode step's cost with the ring size). The buffer has two regions:
@@ -392,6 +397,7 @@ def generate_song_stream(
     x_lens: jnp.ndarray,         # [B, N_BARS] int32
     x_attrs: Dict[str, jnp.ndarray],   # each [B, N_BARS] int32
     n_bars: jnp.ndarray,         # scalar int32 (dynamic trip count)
+    max_output_tokens: jnp.ndarray,  # scalar int32 global budget
     rng: jax.Array,
     temperature: jnp.ndarray,
     top_p: jnp.ndarray,
@@ -543,7 +549,13 @@ def generate_song_stream(
         return (i + 1, cur, pair_starts, cache, y_tokens, y_counts, rng)
 
     def bar_cond(state):
-        return state[0] < n_bars
+        i, _, _, _, _, y_counts, _ = state
+        # Device-side enforcement of the global budget (the host applies the
+        # same rule per stream when unpacking: the bar that CROSSES the
+        # budget is kept, later bars dropped). Without this the program
+        # would decode every remaining bar just for the host to discard it.
+        any_under = jnp.any(jnp.sum(y_counts, axis=1) < max_output_tokens)
+        return (i < n_bars) & any_under
 
     state = (jnp.int32(0), cur0, pair_starts0, cache, y_tokens0, y_counts0, rng)
     _, _, _, _, y_tokens, y_counts, _ = jax.lax.while_loop(
@@ -621,6 +633,8 @@ class StreamingGenerationEngine:
         is batch-parallel, so XLA partitions the whole song program with no
         cross-device collectives beyond the initial broadcast."""
         n_requested = len(x_bars_per_stream)
+        if n_requested == 0:
+            return []
         if mesh is not None:
             n_dp = mesh.shape[data_axis]
             pad_streams = (-n_requested) % n_dp
@@ -707,6 +721,7 @@ class StreamingGenerationEngine:
             x_tokens_j, x_lens_j,
             x_attrs_j,
             jnp.int32(num_bars),
+            jnp.int32(max_output_tokens),
             jax.random.PRNGKey(seed),
             jnp.float32(temperature), jnp.float32(top_p),
             n_ctx=n_ctx,

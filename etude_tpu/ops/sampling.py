@@ -9,10 +9,10 @@ so it runs inside the generation while_loop with no host sync.
 
 TPU perf: a full-vocabulary sort per decode step is the dominant sampling
 cost. `sample_token` therefore restricts the nucleus to the top
-`nucleus_k` tokens via `lax.top_k` (already sorted descending) — exact
-whenever the nucleus fits within k, which holds for trained-model
-distributions at the default top_p 0.9; set nucleus_k >= vocab for the
-unrestricted (full-sort) behavior.
+`nucleus_k` tokens via `lax.top_k` (already sorted descending) while
+cumulating TRUE full-softmax mass — exact whenever the nucleus fits within
+k, which holds for trained-model distributions at the default top_p 0.9;
+set nucleus_k >= vocab for the unrestricted (full-sort) behavior.
 """
 
 from __future__ import annotations
@@ -55,14 +55,23 @@ def sample_token(
     k = min(nucleus_k, V)
     safe_t = jnp.maximum(temperature, 1e-6)
 
-    # Top-k logits are sorted descending; softmax within the top-k then
-    # apply the nucleus prefix rule there.
-    top_logits, top_idx = jax.lax.top_k(logits, k)
-    probs = jax.nn.softmax(top_logits / safe_t, axis=-1)
-    cum_before = jnp.cumsum(probs, axis=-1) - probs
-    use_top_p = (top_p > 0.0) & (top_p < 1.0)
-    keep = jnp.where(use_top_p, cum_before <= top_p, jnp.ones_like(probs, bool))
-    masked = jnp.where(keep, probs, 0.0)
+    # Softmax over the FULL vocabulary (cheap: elementwise over [..., V]),
+    # then rank with top_k. The cumulative mass that drives the nucleus rule
+    # must be TRUE probability mass: renormalizing within the top-k would
+    # shrink the nucleus (each in-k prob inflated by 1/mass_k, cutting the
+    # reference's threshold at top_p·mass_k instead of top_p) and break
+    # sampling parity with top_p_filter / the reference rule.
+    probs_full = jax.nn.softmax(logits / safe_t, axis=-1)
+    top_probs, top_idx = jax.lax.top_k(probs_full, k)
+    cum_before = jnp.cumsum(top_probs, axis=-1) - top_probs
+    # top_p >= 1 disables filtering; top_p <= 0 degenerates to top-1 (the
+    # first token's cum_before is 0, matching top_p_filter's prefix rule).
+    keep = jnp.where(
+        top_p < 1.0,
+        cum_before <= jnp.maximum(top_p, 0.0),
+        jnp.ones_like(top_probs, bool),
+    )
+    masked = jnp.where(keep, top_probs, 0.0)
     draw = jax.random.categorical(
         rng, jnp.log(jnp.maximum(masked, 1e-20)), axis=-1
     )
