@@ -32,6 +32,14 @@ from ..utils.midi import write_midi
 
 
 def amt_config_from(config: ExtractorConfig, n_frame: Optional[int] = None) -> AMTConfig:
+    if config.input.margin_b != config.input.margin_f:
+        # The segment windows are built as margin_b + frames + margin_b; an
+        # asymmetric config would silently gather past the window end
+        # (clamped indices duplicating the final row) instead of erroring.
+        raise ValueError(
+            f"asymmetric margins unsupported: margin_b={config.input.margin_b} "
+            f"!= margin_f={config.input.margin_f}"
+        )
     return AMTConfig(
         n_margin=config.input.margin_b,
         n_frame=n_frame or config.input.num_frame,
@@ -70,7 +78,16 @@ def _transcribe_batch_impl(params, config, spec, branches):
     result = {}
     for branch in branches:
         for head in ("onset", "offset", "mpe"):
-            result[f"{head}_{branch}"] = out[f"{head}_{branch}"].astype(jnp.float16)
+            # Ship LOGIT-space values in f16, not sigmoids: f16 sigmoids
+            # saturate to exactly 1.0 from ~0.9995, and the peak picker's
+            # plateau rule turns those exact ties into duplicate onsets.
+            # Inverting the (f32) sigmoid on device keeps the wire at f16
+            # while the host recovers f32-grade distinct values. The clip
+            # bounds mirror f32 sigmoid saturation (|x| ≥ 18 → p rounds to
+            # 0/1 in f32 anyway, exactly like the reference's f32 heads).
+            p = out[f"{head}_{branch}"]
+            lp = jnp.clip(jnp.log(p) - jnp.log1p(-p), -18.0, 18.0)
+            result[f"{head}_{branch}"] = lp.astype(jnp.float16)
         result[f"velocity_{branch}"] = jnp.argmax(
             out[f"velocity_{branch}"], axis=-1
         ).astype(jnp.uint8)
@@ -81,10 +98,25 @@ def _transcribe_batch_impl(params, config, spec, branches):
 def _transcribe_batch(params, config: AMTConfig, spec: jnp.ndarray,
                       branches: tuple = ("freq", "time")):
     """[B, n_bin, margin+T+margin] → activation maps + on-device velocity
-    argmax. Activations are downcast to f16 and velocities to uint8 before
-    leaving the device (host transfer is a bottleneck on tunneled chips);
-    `branches` limits output to the head set the caller actually uses."""
+    argmax. Head activations travel as f16 LOGITS and velocities as uint8
+    (host transfer is a bottleneck on tunneled chips); widen with
+    `widen_maps`. `branches` limits output to the head set the caller
+    actually uses."""
     return _transcribe_batch_impl(params, config, spec, branches)
+
+
+def widen_maps(chunks) -> Dict[str, np.ndarray]:
+    """Concatenate per-group device outputs and widen the wire format:
+    f16 logits → f32 sigmoid activations, uint8 velocities → int32."""
+    maps = {}
+    for k in chunks[0]:
+        v = np.concatenate([c[k] for c in chunks], axis=0)
+        if k.startswith("velocity"):
+            maps[k] = v.astype(np.int32)
+        else:
+            x = v.astype(np.float32)
+            maps[k] = 1.0 / (1.0 + np.exp(-x))
+    return maps
 
 
 class AMTAPC_Extractor:
@@ -199,17 +231,17 @@ class AMTAPC_Extractor:
             ))
         chunks = [jax.tree.map(np.asarray, out) for out in pending]
 
-        # f16/uint8 on the wire; widen on host (numpy f16 compute is slow).
-        maps = {
-            k: np.concatenate([c[k] for c in chunks], axis=0).astype(
-                np.int32 if k.startswith("velocity") else np.float32
-            )
-            for k in chunks[0]
-        }
-        # [n_seg(+pad), n_frame, 88] → [T, 88]
+        # f16-logit/uint8 on the wire; widen on host.
+        maps = widen_maps(chunks)
+        # [n_seg(+group-pad), n_frame, 88] → [n_seg * n_frame, 88]. The
+        # reference peak-picks the activations PADDED to the segment
+        # boundary, not trimmed to T (etude/data/extractor.py:210-248):
+        # the last note's fallback offset and tail-boundary peak decisions
+        # depend on it, so only the group-batch padding is trimmed here.
         n_frame = self.amt_config.n_frame
+        t_pad = n_seg * n_frame
         return {
-            k: v.reshape(-1, *v.shape[2:])[:T] for k, v in maps.items()
+            k: v.reshape(-1, *v.shape[2:])[:t_pad] for k, v in maps.items()
         }
 
     def _mpe2note(self, maps: Dict[str, np.ndarray], branch: str = "time"):

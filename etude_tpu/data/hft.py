@@ -28,7 +28,7 @@ from ..ops.peakpick import activations_to_notes
 from ..utils.audio import decode_audio
 from ..utils.logger import logger
 from ..utils.midi import write_midi
-from .extractor import _transcribe_batch
+from .extractor import _transcribe_batch, widen_maps
 
 
 def hft_amt_config(config: HFTConfig) -> AMTConfig:
@@ -133,7 +133,7 @@ class HFT_Transformer:
                 branches=("time",),
             )
             chunks.append(jax.tree.map(np.asarray, out))
-        maps = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+        maps = widen_maps(chunks)
 
         # Keep the central [offset, offset+stride) of each segment.
         out = {}

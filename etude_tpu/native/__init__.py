@@ -59,7 +59,9 @@ def load_dbn_library() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(str(lib_path))
             lib.dbn_viterbi.restype = ctypes.c_double
             lib.dbn_viterbi.argtypes = [
-                ctypes.POINTER(ctypes.c_float),   # obs
+                ctypes.POINTER(ctypes.c_float),   # cols [T, n_cols]
+                ctypes.c_int64,                   # n_cols
+                ctypes.POINTER(ctypes.c_int8),    # ptr [S]
                 ctypes.c_int64, ctypes.c_int64,   # T, S
                 ctypes.POINTER(ctypes.c_int64),   # first_idx
                 ctypes.POINTER(ctypes.c_int64),   # last_idx
@@ -79,7 +81,8 @@ def native_dbn_available() -> bool:
 
 
 def dbn_viterbi_native(
-    obs: np.ndarray,        # [T, S] f32
+    cols: np.ndarray,       # [T, n_cols] f32 per-frame observation densities
+    ptr: np.ndarray,        # [S] int8 column index each state emits
     first_idx: np.ndarray,  # [n_blocks, n_tempi] int64
     last_idx: np.ndarray,   # [n_blocks, n_tempi] int64
     logT: np.ndarray,       # [n_tempi, n_tempi] f32
@@ -88,15 +91,19 @@ def dbn_viterbi_native(
     lib = load_dbn_library()
     if lib is None:
         raise RuntimeError("native DBN library unavailable")
-    obs = np.ascontiguousarray(obs, np.float32)
+    cols = np.ascontiguousarray(cols, np.float32)
+    ptr = np.ascontiguousarray(ptr, np.int8)
     first = np.ascontiguousarray(first_idx, np.int64)
     last = np.ascontiguousarray(last_idx, np.int64)
     logT = np.ascontiguousarray(logT, np.float32)
-    T, S = obs.shape
+    T, n_cols = cols.shape
+    S = ptr.shape[0]
     n_blocks, n_tempi = first.shape
     path = np.empty(T, np.int64)
     log_prob = lib.dbn_viterbi(
-        obs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_cols,
+        ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         T, S,
         first.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         last.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

@@ -23,13 +23,18 @@ constexpr float kNegInf = -1e30f;
 
 extern "C" {
 
-// obs:        [T * S] row-major per-state observation log densities
+// cols:       [T * n_cols] row-major per-frame observation log densities
+//             (e.g. {no-beat, beat, downbeat} columns); the madmom-style
+//             state space emits one of a handful of densities per state, so
+//             the full [T, S] observation matrix is never materialized
+// ptr:        [S] column index each state emits
 // first_idx:  [n_blocks * n_tempi] state index of each (block, tempo) first state
 // last_idx:   [n_blocks * n_tempi] state index of each (block, tempo) last state
 // logT:       [n_tempi * n_tempi] tempo-change log probabilities
 // out_path:   [T] best state per frame (written)
 // Returns the final best log probability.
-double dbn_viterbi(const float* obs, int64_t T, int64_t S,
+double dbn_viterbi(const float* cols, int64_t n_cols, const int8_t* ptr,
+                   int64_t T, int64_t S,
                    const int64_t* first_idx, const int64_t* last_idx,
                    int64_t n_blocks, int64_t n_tempi, const float* logT,
                    int64_t* out_path) {
@@ -37,7 +42,7 @@ double dbn_viterbi(const float* obs, int64_t T, int64_t S,
   const int64_t F = n_blocks * n_tempi;
 
   std::vector<float> score(S), next(S);
-  for (int64_t s = 0; s < S; ++s) score[s] = obs[s];
+  for (int64_t s = 0; s < S; ++s) score[s] = cols[ptr[s]];
 
   // Boundary backpointers: predecessor tempo per (frame, block, tempo).
   std::vector<int32_t> backs(static_cast<size_t>(T) * F, 0);
@@ -79,8 +84,8 @@ double dbn_viterbi(const float* obs, int64_t T, int64_t S,
       }
     }
 
-    const float* obs_t = obs + static_cast<size_t>(t) * S;
-    for (int64_t s = 0; s < S; ++s) next[s] += obs_t[s];
+    const float* cols_t = cols + static_cast<size_t>(t) * n_cols;
+    for (int64_t s = 0; s < S; ++s) next[s] += cols_t[ptr[s]];
     score.swap(next);
   }
 

@@ -5,8 +5,8 @@ Replaces the reference's native (Cython) madmom dependency
 implementation of the classic beat-tracking state space: one state per
 (phase, tempo) pair where tempo is an integer beat interval in frames, phase
 advances deterministically by one frame, and tempo changes are allowed only
-at beat boundaries with probability exp(-λ·|log(interval_to/interval_from)|)
-(transition_lambda = 100). Observations follow the standard RNN beat-tracking
+at beat boundaries with probability exp(-λ·|interval_to/interval_from − 1|)
+(transition_lambda = 100, madmom's exponential model). Observations follow the standard RNN beat-tracking
 model: the first 1/observation_lambda of each beat is a "beat" state emitting
 the network activation, the rest emit (1 - activation)/(λ_obs - 1).
 
@@ -68,9 +68,14 @@ class _StateSpace:
         self.in_beat = np.tile(pos, self.n_blocks) < (1.0 / OBSERVATION_LAMBDA)
 
     def tempo_log_transitions(self) -> np.ndarray:
-        """[n_from, n_to] log prob of interval change at a beat boundary."""
+        """[n_from, n_to] log prob of interval change at a beat boundary.
+
+        Exponential tempo-change model in madmom's exact form (Krebs/Böck
+        ISMIR 2015): exp(-λ·|to/from − 1|) over intervals, row-normalized.
+        (An earlier |log ratio| variant skewed change likelihoods by tens of
+        percent vs the reference tracker.)"""
         ratio = self.intervals[None, :] / self.intervals[:, None].astype(np.float64)
-        prob = np.exp(-TRANSITION_LAMBDA * np.abs(np.log(ratio)))
+        prob = np.exp(-TRANSITION_LAMBDA * np.abs(ratio - 1.0))
         prob[prob <= np.spacing(1)] = 0.0
         prob /= prob.sum(axis=1, keepdims=True)
         return np.log(np.maximum(prob, EPS))
@@ -84,17 +89,24 @@ def _interval_range(min_bpm: float, max_bpm: float, fps: float) -> np.ndarray:
 
 @jax.jit
 def _viterbi_scan(
-    obs_ptr_log: jnp.ndarray,   # [T, S] per-state observation log densities
+    cols_log: jnp.ndarray,      # [T, n_cols] per-frame observation densities
+    ptr: jnp.ndarray,           # [S] int32 column index each state emits
     first_idx: jnp.ndarray,     # [n_blocks, n_tempi] first-state indices
     last_idx: jnp.ndarray,      # [n_blocks, n_tempi] last-state indices
     logT: jnp.ndarray,          # [n_tempi, n_tempi]
 ):
     """Structured Viterbi. Returns (final scores [S], backpointers
-    [T, n_blocks, n_tempi] best predecessor tempo per boundary state)."""
-    S = obs_ptr_log.shape[1]
+    [T, n_blocks, n_tempi] best predecessor tempo per boundary state).
+
+    Observations arrive as a [T, n_cols] density table plus a per-state
+    column pointer (madmom's layout): each state emits one of a handful of
+    densities, so the [T, S] matrix is expanded per step inside the scan
+    instead of being materialized (~100 MB per meter pattern at song
+    scale)."""
+    S = ptr.shape[0]
     neg_inf = jnp.float32(-1e30)
 
-    def step(score, obs_t):
+    def step(score, cols_t):
         shifted = jnp.concatenate([jnp.full((1,), neg_inf), score[:-1]])
         # Boundary states: best over predecessor tempi of the previous block.
         prev_block_last = jnp.roll(last_idx, 1, axis=0)  # [n_blocks, n_tempi]
@@ -103,11 +115,11 @@ def _viterbi_scan(
         best_from = jnp.argmax(cand, axis=1)             # [blocks, to]
         first_scores = jnp.max(cand, axis=1)             # [blocks, to]
         new = shifted.at[first_idx.reshape(-1)].set(first_scores.reshape(-1))
-        new = new + obs_t
+        new = new + cols_t[ptr]
         return new, best_from.astype(jnp.int32)
 
-    init = jnp.zeros((S,), jnp.float32) + obs_ptr_log[0]
-    final, backs = jax.lax.scan(step, init, obs_ptr_log[1:])
+    init = jnp.zeros((S,), jnp.float32) + cols_log[0][ptr]
+    final, backs = jax.lax.scan(step, init, cols_log[1:])
     return final, backs
 
 
@@ -118,8 +130,10 @@ class _DBNTracker:
         self.ss = _StateSpace(intervals.astype(np.int64), n_blocks)
         self.logT = self.ss.tempo_log_transitions().astype(np.float32)
 
-    def _decode(self, obs_state_log: np.ndarray) -> Tuple[np.ndarray, float]:
-        """Viterbi path over per-state log densities [T, S].
+    def _decode(self, cols_log: np.ndarray,
+                ptr: np.ndarray) -> Tuple[np.ndarray, float]:
+        """Viterbi path over a [T, n_cols] observation density table and a
+        per-state column pointer [S] (int8).
 
         Backend selection via ETUDE_DBN_BACKEND: "native" (C++ host decoder,
         etude_tpu/native/dbn_viterbi.cc), "jax" (device lax.scan), or "auto"
@@ -133,7 +147,7 @@ class _DBNTracker:
 
                 if native_dbn_available():
                     return dbn_viterbi_native(
-                        obs_state_log, self.ss.first, self.ss.last, self.logT
+                        cols_log, ptr, self.ss.first, self.ss.last, self.logT
                     )
                 if backend == "native":
                     raise RuntimeError("native DBN backend requested but unavailable")
@@ -143,10 +157,11 @@ class _DBNTracker:
                 pass
 
         ss = self.ss
-        T = obs_state_log.shape[0]
+        T = cols_log.shape[0]
 
         final, backs = _viterbi_scan(
-            jnp.asarray(obs_state_log, jnp.float32),
+            jnp.asarray(cols_log, jnp.float32),
+            jnp.asarray(ptr, jnp.int32),
             jnp.asarray(ss.first), jnp.asarray(ss.last),
             jnp.asarray(self.logT),
         )
@@ -208,13 +223,14 @@ class DBNBeatTracker:
     def __call__(self, activations: np.ndarray) -> np.ndarray:
         act, first = _threshold_trim(np.asarray(activations, np.float64),
                                      self.threshold)
-        if act.size == 0:
+        if act.size == 0 or not act.any():  # madmom: silence → no beats
             return np.empty(0)
         ss = self.tracker.ss
         beat_log = np.log(np.maximum(act, EPS))
         nobeat_log = np.log(np.maximum((1.0 - act) / (OBSERVATION_LAMBDA - 1), EPS))
-        obs = np.where(ss.in_beat[None, :], beat_log[:, None], nobeat_log[:, None])
-        path, _ = self.tracker._decode(obs.astype(np.float32))
+        cols = np.stack([nobeat_log, beat_log], axis=1).astype(np.float32)
+        ptr = ss.in_beat.astype(np.int8)
+        path, _ = self.tracker._decode(cols, ptr)
 
         # Correct beats to the activation peak within each beat-range segment.
         in_beat = ss.in_beat[path]
@@ -238,7 +254,7 @@ class DBNDownBeatTracker:
     def __call__(self, activations: np.ndarray) -> np.ndarray:
         act, first = _threshold_trim(np.asarray(activations, np.float64),
                                      self.threshold)
-        if act.shape[0] == 0:
+        if act.shape[0] == 0 or not act.any():  # madmom: silence → no beats
             return np.empty((0, 2))
 
         no_beat = np.log(np.maximum(
@@ -247,6 +263,7 @@ class DBNDownBeatTracker:
         beat = np.log(np.maximum(act[:, 0], EPS))
         down = np.log(np.maximum(act[:, 1], EPS))
 
+        cols = np.stack([no_beat, beat, down], axis=1).astype(np.float32)
         best = None
         for bpb, tracker in self.patterns:
             ss = tracker.ss
@@ -254,9 +271,7 @@ class DBNDownBeatTracker:
             ptr = np.zeros(ss.n_states, np.int8)
             ptr[ss.in_beat] = 1
             ptr[ss.in_beat & (ss.block_id == 0)] = 2
-            cols = np.stack([no_beat, beat, down], axis=1).astype(np.float32)
-            obs = cols[:, ptr]  # [T, S] f32
-            path, log_prob = tracker._decode(obs)
+            path, log_prob = tracker._decode(cols, ptr)
             if best is None or log_prob > best[0]:
                 best = (log_prob, bpb, tracker, path, ptr)
 
@@ -265,10 +280,9 @@ class DBNDownBeatTracker:
         in_beat = ptr[path] >= 1
         out = []
         for l, r in _peak_segments(in_beat):
-            # Use the column this segment's states point at.
-            is_down = np.any(ptr[path[l:r]] == 2)
-            col = act[l:r, 1] if is_down else act[l:r, 0]
-            peak = int(np.argmax(col)) + l
+            # madmom's correction: argmax over the FLATTENED [seg, 2] slice
+            # (the strongest activation in either column picks the frame).
+            peak = int(np.argmax(act[l:r])) // act.shape[1] + l
             beat_number = int(ss.block_id[path[peak]]) + 1
             out.append(((peak + first) / self.fps, beat_number))
         return np.asarray(out) if out else np.empty((0, 2))

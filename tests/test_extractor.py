@@ -79,7 +79,12 @@ def test_transcript_batched_equals_serial(small_extractor):
         np.testing.assert_allclose(
             maps_b[key], maps_s[key], rtol=5e-3, atol=5e-3
         )
-    assert maps_b["onset_time"].shape == (40, 12 * 0 + small_extractor.amt_config.n_note)
+    # Maps stay padded to the segment boundary (reference peak-picks the
+    # PADDED activations, etude/data/extractor.py:210-248): 40 frames at
+    # n_frame=16 → 3 segments → 48 rows.
+    n_frame = small_extractor.amt_config.n_frame
+    t_pad = -(-40 // n_frame) * n_frame
+    assert maps_b["onset_time"].shape == (t_pad, small_extractor.amt_config.n_note)
 
 
 def test_analyze_volume(tmp_path):
