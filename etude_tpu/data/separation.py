@@ -82,6 +82,27 @@ def _separate_mel_jit(params, config: SeparatorConfig, wave, true_frames,
     return jnp.einsum("stf,fm->stm", stem_power, fb)
 
 
+@functools.partial(jax.jit, static_argnames=("n_stems",))
+def _mix_mel_jit(wave, cos_m, sin_m, fb, n_stems: int):
+    """Separator BYPASS: the raw mix's mel power tiled into every stem slot.
+
+    Ablation probe for how much source separation buys the beat tracker on
+    a given corpus (reference analog: its README warns beat quality is
+    separation-sensitive, README.md:83-84)."""
+    n_frames = 1 + (wave.shape[0] - SEP_N_FFT) // SEP_HOP
+    idx = jnp.arange(SEP_N_FFT)[None, :] + SEP_HOP * jnp.arange(n_frames)[:, None]
+    frames = wave[idx]
+    n = np.arange(SEP_N_FFT)
+    window = jnp.asarray(
+        (0.5 * (1.0 - np.cos(2 * np.pi * n / SEP_N_FFT))).astype(np.float32)
+    )
+    from ..ops.mel import frame_power_spectrum
+
+    power_spec = frame_power_spectrum(frames * window[None, :], cos_m, sin_m)
+    mel = jnp.einsum("tf,fm->tm", power_spec, fb)
+    return jnp.broadcast_to(mel[None], (n_stems, *mel.shape))
+
+
 @functools.lru_cache(maxsize=1)
 def _sep_fb_device():
     return jax.device_put(mel_filterbank(
@@ -117,8 +138,15 @@ class SourceSeparator:
         model_path: Optional[Union[str, Path]] = None,
         params=None,
         config: Optional[SeparatorConfig] = None,
+        bypass: bool = False,
     ):
+        """bypass=True skips the mask net and tiles the mix's mel into every
+        stem slot (separation ablation; no weights are loaded)."""
         self.config = config or SeparatorConfig()
+        self.bypass = bypass
+        if bypass:
+            self.params = None
+            return
         if params is not None:
             self.params = params
         elif model_path is not None and Path(model_path).exists():
@@ -157,10 +185,19 @@ class SourceSeparator:
         target_len = (bucket_frames - 1) * SEP_HOP + SEP_N_FFT
         padded = np.pad(padded, (0, max(0, target_len - len(padded))))[:target_len]
 
-        mel_power = _separate_mel(
-            self.params, self.config, jnp.asarray(padded, jnp.float32),
-            true_frames,
-        )
+        if self.bypass:
+            from ..ops.mel import dft_matrices
+
+            cos_m, sin_m = dft_matrices(SEP_N_FFT)
+            mel_power = _mix_mel_jit(
+                jnp.asarray(padded, jnp.float32), cos_m, sin_m,
+                _sep_fb_device(), self.config.num_stems,
+            )
+        else:
+            mel_power = _separate_mel(
+                self.params, self.config, jnp.asarray(padded, jnp.float32),
+                true_frames,
+            )
         mask = (jnp.arange(mel_power.shape[1]) < true_frames)
         features_dev = _power_to_db_jit(mel_power, mask)[:, :true_frames]
 

@@ -137,6 +137,9 @@ def main(argv=None) -> int:
     parser.add_argument("--held-out-only", action="store_true",
                         help="score only the corpus_render eval split (songs "
                              "never used for fine-tuning)")
+    parser.add_argument("--no-separator", action="store_true",
+                        help="ablation: tile the raw mix's mel into every "
+                             "stem slot instead of separating")
     args = parser.parse_args(argv)
 
     from etude_tpu.config.schema import BeatDetectorConfig
@@ -144,7 +147,8 @@ def main(argv=None) -> int:
     from etude_tpu.data.separation import SourceSeparator
 
     separator = SourceSeparator(
-        model_path=REPO / "checkpoints" / "separator" / "latest.ckpt"
+        model_path=REPO / "checkpoints" / "separator" / "latest.ckpt",
+        bypass=args.no_separator,
     )
     detector = BeatDetector(
         BeatDetectorConfig(),
