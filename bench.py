@@ -141,10 +141,16 @@ def main() -> None:
     # max_bar_token_limit 512, etude/config/schema.py:222-226). Without it
     # the engine derives cap 1024 − MAX_BAR_TOKENS = 896, a LARGER history
     # window than the reference ever attends — slower and not parity.
+    # int8 KV cache measured SLOWER end-to-end at this scale (6.6k vs 14.0k
+    # tok/s batched, r3): the per-step quantize/requantize work and s32
+    # conversions outweigh the halved cache read for a 25M-param window of
+    # ~770 slots. Quality is parity (scripts/eval_distilled.py --kv-quant),
+    # so the option stays for larger windows; BENCH_KV_QUANT=1 re-measures.
+    kv_quant = os.environ.get("BENCH_KV_QUANT", "0") == "1"
     engine = StreamingGenerationEngine(
         config, bar_bos_id=BOS, bar_eos_id=EOS, pad_id=PAD,
         max_bar_token_limit=MAX_BAR_TOKENS, prompt_cap=512,
-        x_len_buckets=(128,), bars_bucket=N_BARS,
+        x_len_buckets=(128,), bars_bucket=N_BARS, kv_quant=kv_quant,
     )
 
     def measure(n_streams: int):
@@ -180,6 +186,7 @@ def main() -> None:
         "n_bars": len(bars),
         "condition_source": source,
         "weights": weights,
+        "kv_quant": kv_quant,
     }))
 
 

@@ -281,11 +281,18 @@ class GenerationEngine:
         max_output_tokens: int = 25600,
         seed: int = 0,
         progress: bool = False,
+        forced_history_y: Optional[List[List[List[int]]]] = None,
     ) -> List[List[List[int]]]:
         """Generate N independent streams in lockstep (batched on device).
 
         Streams may have different bar counts; exhausted streams decode
         against an empty condition bar and their output is discarded.
+
+        forced_history_y (teacher-forced-history evaluation): per stream, the
+        TRUE target bars; after generating bar i the history receives the
+        true Y_i instead of the generated one, so each bar is cloned from
+        the exact context the distillation training saw — per-bar fidelity
+        without compounding free-running drift.
         """
         B = len(x_bars_per_stream)
         if B == 0:
@@ -346,7 +353,12 @@ class GenerationEngine:
                 generated = [self.bar_bos_id] + bar_tokens
                 x_ids = stream[bar_idx]
                 attrs = attrs_per_stream[b][bar_idx]
-                histories[b].append((x_ids, generated, attrs))
+                hist_y = generated
+                if forced_history_y is not None and bar_idx < len(
+                    forced_history_y[b]
+                ):
+                    hist_y = forced_history_y[b][bar_idx]
+                histories[b].append((x_ids, hist_y, attrs))
                 if len(histories[b]) > self.config.context_num_past_xy_pairs:
                     histories[b].pop(0)
                 outputs[b].append(generated)

@@ -105,6 +105,11 @@ def main(argv=None) -> int:
     parser.add_argument("--kv-quant", action="store_true",
                         help="stream engine int8 KV cache (quality gate for "
                              "enabling it in serving/bench)")
+    parser.add_argument("--teacher-forced-history", action="store_true",
+                        help="history receives the TRUE etude_d bars instead "
+                             "of generated ones: per-bar cloning fidelity "
+                             "without free-running drift (rebuild engine "
+                             "only)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -113,6 +118,9 @@ def main(argv=None) -> int:
     config = EtudeDecoderConfig.from_json_file(run / "etude_decoder_config.json")
     params = load_params_only(run / "model", init_params(config, seed=0))
 
+    if args.teacher_forced_history and args.engine != "rebuild":
+        logger.error("--teacher-forced-history requires --engine rebuild")
+        return 1
     if args.engine == "stream":
         from etude_tpu.models.generate_stream import StreamingGenerationEngine
 
@@ -163,7 +171,7 @@ def main(argv=None) -> int:
             continue
         entry = {"name": name, "tempo": tempo, "src_bars": src_bars,
                  "tgt_notes": tgt_notes}
-        if args.oracle_attrs:
+        if args.oracle_attrs or args.teacher_forced_history:
             tgt_ids = vocab.encode_sequence(
                 TinyREMITokenizer(tempo_data=tempo).encode(
                     tgt_notes, with_grace_note=True
@@ -172,6 +180,8 @@ def main(argv=None) -> int:
             tgt_bars = split_sequence_into_bars(
                 tgt_ids, vocab.bar_bos_id, vocab.bar_eos_id
             )
+            entry["tgt_bars"] = tgt_bars
+        if args.oracle_attrs:
             n = min(len(src_bars), len(tgt_bars))
             attrs = [
                 compute_relative_attributes(
@@ -223,10 +233,17 @@ def main(argv=None) -> int:
         else:
             per_bar = [attrs_default] * len(bars)
 
-        generated = engine.generate(
-            params, bars, per_bar,
-            temperature=args.temperature, top_p=0.9, seed=args.seed,
-        )
+        if args.teacher_forced_history:
+            generated = engine.generate_batch(
+                params, [bars], [per_bar],
+                temperature=args.temperature, top_p=0.9, seed=args.seed,
+                forced_history_y=[entry["tgt_bars"]],
+            )[0]
+        else:
+            generated = engine.generate(
+                params, bars, per_bar,
+                temperature=args.temperature, top_p=0.9, seed=args.seed,
+            )
         gen_events = [e for bar in generated
                       for e in vocab.decode_sequence_to_events(bar)]
         notes = TinyREMITokenizer(tempo_data=tempo).decode_to_notes(gen_events)
