@@ -50,12 +50,18 @@ def main(argv=None) -> int:
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", default="/tmp/etude_engine_parity")
+    parser.add_argument(
+        "--reuse", action="store_true",
+        help="score existing per-engine output dirs without regenerating",
+    )
     args = parser.parse_args(argv)
 
     out = Path(args.out)
     dirs = {}
     for engine in ("rebuild", "stream"):
         dirs[engine] = out / engine
+        if args.reuse and any(dirs[engine].glob("*_ours.mid")):
+            continue
         rc = eval_distilled.main([
             "--run", args.run, "--vocab", args.vocab,
             "--songs", str(args.songs), "--engine", engine,
