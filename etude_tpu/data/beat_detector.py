@@ -78,7 +78,8 @@ class BeatDetector:
         elif model_path is not None and Path(model_path).exists():
             from ..utils.training import load_params_only
 
-            abstract = init_params(self.model_config, seed=0)
+            # eval_shape: template only — skip the random-init device upload.
+            abstract = jax.eval_shape(lambda: init_params(self.model_config, seed=0))
             self.params = load_params_only(model_path, abstract)
             logger.debug(f"beat model weights loaded from {model_path}")
         else:
@@ -123,8 +124,11 @@ class BeatDetector:
         features_or_path: Union[np.ndarray, str, Path],
         output_json_path: Optional[Union[str, Path]] = None,
         cleanup_input: bool = True,
+        timer=None,
     ) -> Dict:
         """Features (array or .npy path) → {beat_pred, downbeat_pred}."""
+        from ..utils.profiling import maybe_span
+
         input_file = None
         if isinstance(features_or_path, (str, Path)):
             input_file = Path(features_or_path)
@@ -135,14 +139,16 @@ class BeatDetector:
             # Device-resident features (in-process stage handoff).
             features = features_or_path
 
-        act = self.activations(features)
+        with maybe_span(timer, "beat: forward"):
+            act = self.activations(features)
         beat_act, down_act = act[:, 0], act[:, 1]
 
-        beats = self.beat_tracker(beat_act)
-        combined = np.stack(
-            [np.maximum(beat_act - down_act, 0.0), down_act], axis=-1
-        )
-        downbeat_events = self.downbeat_tracker(combined)
+        with maybe_span(timer, "beat: DBN decode"):
+            beats = self.beat_tracker(beat_act)
+            combined = np.stack(
+                [np.maximum(beat_act - down_act, 0.0), down_act], axis=-1
+            )
+            downbeat_events = self.downbeat_tracker(combined)
         downbeats = (
             downbeat_events[downbeat_events[:, 1] == 1][:, 0]
             if downbeat_events.size else np.empty(0)

@@ -146,7 +146,8 @@ class AMTAPC_Extractor:
         elif model_path is not None and Path(model_path).exists():
             from ..utils.training import load_params_only
 
-            abstract = init_params(self.amt_config, seed=0)
+            # eval_shape: template only — skip the random-init device upload.
+            abstract = jax.eval_shape(lambda: init_params(self.amt_config, seed=0))
             self.params = load_params_only(model_path, abstract)
             logger.debug(f"extractor weights loaded from {model_path}")
         else:
@@ -263,13 +264,19 @@ class AMTAPC_Extractor:
         audio_path: Union[str, Path],
         output_json_path: Union[str, Path],
         output_midi_path: Optional[Union[str, Path]] = None,
+        timer=None,
     ):
         """Transcribe audio; write note JSON (and optional MIDI)."""
-        feature = self._wav2feature(audio_path, return_device=True)
-        maps = self._transcript(feature)
+        from ..utils.profiling import maybe_span
+
+        with maybe_span(timer, "extract: wav→mel"):
+            feature = self._wav2feature(audio_path, return_device=True)
+        with maybe_span(timer, "extract: hFT forward"):
+            maps = self._transcript(feature)
         # Inference uses the refined time-branch (B) heads, like the
         # reference (etude/data/extractor.py:161).
-        notes = self._mpe2note(maps, branch="time")
+        with maybe_span(timer, "extract: peak picking"):
+            notes = self._mpe2note(maps, branch="time")
 
         min_dur = self.config.infer.min_duration
         filtered = [

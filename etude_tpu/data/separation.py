@@ -152,7 +152,8 @@ class SourceSeparator:
         elif model_path is not None and Path(model_path).exists():
             from ..utils.training import load_params_only
 
-            abstract = init_params(self.config, seed=0)
+            # eval_shape: template only — skip the random-init device upload.
+            abstract = jax.eval_shape(lambda: init_params(self.config, seed=0))
             self.params = load_params_only(model_path, abstract)
             logger.debug(f"separator weights loaded from {model_path}")
         else:
@@ -168,13 +169,17 @@ class SourceSeparator:
         audio_path: Union[str, Path],
         output_npy_path: Optional[Union[str, Path]] = None,
         return_device: bool = False,
+        timer=None,
     ):
         """Audio → dB-mel features (5, time, 128).
 
         return_device=True hands back the device-resident array (the beat
         detector consumes it directly — no host round trip of ~50 MB).
         """
-        wave, _ = decode_audio(audio_path, target_sr=SEP_SR, mono=True)
+        from ..utils.profiling import maybe_span
+
+        with maybe_span(timer, "sep: wav decode"):
+            wave, _ = decode_audio(audio_path, target_sr=SEP_SR, mono=True)
         true_frames = 1 + len(wave) // SEP_HOP
         # Host reflect pad first, then bucket the frame count with zeros so
         # the true tail frames see the reflected signal (torch/librosa
@@ -185,21 +190,24 @@ class SourceSeparator:
         target_len = (bucket_frames - 1) * SEP_HOP + SEP_N_FFT
         padded = np.pad(padded, (0, max(0, target_len - len(padded))))[:target_len]
 
-        if self.bypass:
-            from ..ops.mel import dft_matrices
+        with maybe_span(timer, "sep: forward"):
+            if self.bypass:
+                from ..ops.mel import dft_matrices
 
-            cos_m, sin_m = dft_matrices(SEP_N_FFT)
-            mel_power = _mix_mel_jit(
-                jnp.asarray(padded, jnp.float32), cos_m, sin_m,
-                _sep_fb_device(), self.config.num_stems,
-            )
-        else:
-            mel_power = _separate_mel(
-                self.params, self.config, jnp.asarray(padded, jnp.float32),
-                true_frames,
-            )
-        mask = (jnp.arange(mel_power.shape[1]) < true_frames)
-        features_dev = _power_to_db_jit(mel_power, mask)[:, :true_frames]
+                cos_m, sin_m = dft_matrices(SEP_N_FFT)
+                mel_power = _mix_mel_jit(
+                    jnp.asarray(padded, jnp.float32), cos_m, sin_m,
+                    _sep_fb_device(), self.config.num_stems,
+                )
+            else:
+                mel_power = _separate_mel(
+                    self.params, self.config, jnp.asarray(padded, jnp.float32),
+                    true_frames,
+                )
+            mask = (jnp.arange(mel_power.shape[1]) < true_frames)
+            features_dev = _power_to_db_jit(mel_power, mask)[:, :true_frames]
+            if timer is not None:  # attribute device time to this span
+                features_dev.block_until_ready()
 
         if output_npy_path is not None:
             output_npy_path = Path(output_npy_path)

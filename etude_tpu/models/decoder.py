@@ -80,10 +80,14 @@ Params = Dict[str, Any]
 
 
 # ------------------------------------------------------------------ init
-def init_params(config: EtudeDecoderConfig, seed: int = 0) -> Params:
+def init_params(config: EtudeDecoderConfig, seed: int = 0,
+                abstract: bool = False) -> Params:
     """Initialize the parameter pytree (f32 master weights).
 
     Layer parameters are stacked along a leading [L] axis for lax.scan.
+    abstract=True returns the same tree with jax.ShapeDtypeStruct leaves —
+    no host materialization, no device upload (the ~100 MB random init costs
+    ~1 s through a remote tunnel; checkpoint loaders only need the template).
     """
     rng = np.random.default_rng(seed)
     std = config.initializer_range
@@ -91,25 +95,30 @@ def init_params(config: EtudeDecoderConfig, seed: int = 0) -> Params:
     I, V = config.intermediate_size, config.vocab_size
     A = config.attribute_emb_dim
 
-    def normal(*shape):
-        return rng.normal(0.0, std, size=shape).astype(np.float32)
+    if abstract:
+        def normal(*shape):
+            return jax.ShapeDtypeStruct(shape, jnp.float32)
 
-    def zeros(*shape):
-        return np.zeros(shape, np.float32)
+        zeros = ones = normal
+    else:
+        def normal(*shape):
+            return rng.normal(0.0, std, size=shape).astype(np.float32)
 
-    def ones(*shape):
-        return np.ones(shape, np.float32)
+        def zeros(*shape):
+            return np.zeros(shape, np.float32)
+
+        def ones(*shape):
+            return np.ones(shape, np.float32)
 
     word_emb = normal(V, H)
-    word_emb[config.pad_token_id] = 0.0
     class_emb = normal(config.num_classes, H)
-    class_emb[config.pad_class_id] = 0.0
-
-    attr_emb = {}
-    for name in ATTRIBUTE_ORDER:
-        e = normal(config.num_attribute_bins, A)
-        e[config.attribute_pad_id] = 0.0
-        attr_emb[name] = e
+    attr_emb = {name: normal(config.num_attribute_bins, A)
+                for name in ATTRIBUTE_ORDER}
+    if not abstract:
+        word_emb[config.pad_token_id] = 0.0
+        class_emb[config.pad_class_id] = 0.0
+        for e in attr_emb.values():
+            e[config.attribute_pad_id] = 0.0
 
     params = {
         "word_emb": word_emb,
@@ -127,6 +136,8 @@ def init_params(config: EtudeDecoderConfig, seed: int = 0) -> Params:
         "final_ln": {"scale": ones(H), "bias": zeros(H)},
         "lm_head": normal(H, V),
     }
+    if abstract:
+        return params
     return jax.tree.map(jnp.asarray, params)
 
 

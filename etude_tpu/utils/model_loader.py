@@ -26,7 +26,6 @@ def load_etude_decoder(
         logger.warn(f"decoder config {config_path} not found; using defaults")
         config = EtudeDecoderConfig()
 
-    abstract = init_params(config, seed=seed)
     if model_path.exists() and model_path.suffix in (".pth", ".pt"):
         # Reference torch checkpoint: port the state dict directly.
         import jax
@@ -38,11 +37,13 @@ def load_etude_decoder(
     elif model_path.exists():
         from .training import load_params_only
 
-        params = load_params_only(model_path, abstract)
+        params = load_params_only(
+            model_path, init_params(config, seed=seed, abstract=True)
+        )
         logger.debug(f"decoder weights loaded from {model_path}")
     else:
         logger.warn(
             f"decoder checkpoint {model_path} not found; using random weights"
         )
-        params = abstract
+        params = init_params(config, seed=seed)
     return params, config

@@ -56,6 +56,14 @@ class StageTimer:
             logger.info(f"{name:<32s} {s['seconds']:>8.2f}s  {share:5.1f}%")
 
 
+def maybe_span(timer: Optional[StageTimer], name: str):
+    """Nested span on `timer`, or a no-op when no timer is threaded through
+    (library call sites stay uninstrumented unless the orchestrator asks)."""
+    if timer is None:
+        return contextlib.nullcontext()
+    return timer.span(name, nested=True)
+
+
 @contextlib.contextmanager
 def trace(trace_dir: Optional[str] = None):
     """XLA profiler trace around a block; no-op when no directory is given

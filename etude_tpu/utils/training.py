@@ -141,8 +141,23 @@ def save_params_only(
     config.to_json_file(path.parent / "etude_decoder_config.json")
 
 
+# Process-level device-resident params cache: a serving process handles many
+# requests with the same checkpoints, and on a remote-tunneled chip every
+# reload costs disk read + host→HBM re-upload (~seconds for the 25M decoder).
+# Params are functional pytrees (never mutated in place), so sharing the
+# device buffers across pipeline instances is safe. Keyed by (path, mtime);
+# a retrained checkpoint at the same path gets a fresh entry.
+_PARAMS_CACHE: Dict[Tuple[str, float], Any] = {}
+
+
 def load_params_only(path: Union[str, Path], abstract_params: Any) -> Any:
     path = Path(path).resolve()
+    key = (str(path), path.stat().st_mtime)
+    cached = _PARAMS_CACHE.get(key)
+    if cached is not None and (
+        jax.tree.structure(cached) == jax.tree.structure(abstract_params)
+    ):
+        return cached
     restored = _checkpointer().restore(path, item={"params": abstract_params})
     # Checkpoints may be stored in reduced precision (f16 shipped weights);
     # promote to the caller's requested dtype for stable master weights.
@@ -154,7 +169,9 @@ def load_params_only(path: Union[str, Path], abstract_params: Any) -> Any:
     # every jit invocation re-uploads host operands — on a remote-tunneled
     # chip that is ~2 s of transfer per call for the 25M decoder (measured),
     # dwarfing the launch it feeds.
-    return jax.device_put(params)
+    params = jax.device_put(params)
+    _PARAMS_CACHE[key] = params
+    return params
 
 
 def save_aux_params(

@@ -102,9 +102,11 @@ class InferencePipeline:
             self.config.extractor,
             model_path=self.config.paths.extractor_model,
         )
-        extractor.extract(audio_path, self.work_dir / "extract.json")
-        volume = analyze_volume(audio_path)
-        save_volume_map(volume, self.work_dir / "volume.json")
+        extractor.extract(audio_path, self.work_dir / "extract.json",
+                          timer=self.timer)
+        with self.timer.span("extract: volume analysis", nested=True):
+            volume = analyze_volume(audio_path)
+            save_volume_map(volume, self.work_dir / "volume.json")
 
     def _run_stage2_structuralize(self, audio_path: Path) -> None:
         logger.stage("Structuralize: separation + beat grid")
@@ -112,14 +114,16 @@ class InferencePipeline:
         separator = SourceSeparator(model_path=self.config.paths.separator_model)
         # Device-resident handoff: the beat detector consumes the features
         # directly, skipping the reference's sep.npy disk round trip.
-        features = separator.separate_features(audio_path, return_device=True)
+        features = separator.separate_features(audio_path, return_device=True,
+                                               timer=self.timer)
 
         logger.step("Beat/downbeat detection")
         detector = BeatDetector(
             self.config.beat_detector,
             model_path=self.config.paths.beat_detector_model,
         )
-        detector.detect(features, self.work_dir / "beat_pred.json")
+        detector.detect(features, self.work_dir / "beat_pred.json",
+                        timer=self.timer)
 
         logger.step("Tempo analysis")
         analyzer = BeatAnalyzer()
@@ -134,17 +138,22 @@ class InferencePipeline:
         seed: int = 0,
     ) -> None:
         logger.stage("Decode: conditional generation")
-        vocab = Vocab.load(self.config.paths.decoder_vocab)
-        params, model_config = load_etude_decoder(
-            self.config.paths.decoder_config, self.config.paths.decoder_model
-        )
+        with self.timer.span("decode: model load", nested=True):
+            vocab = Vocab.load(self.config.paths.decoder_vocab)
+            params, model_config = load_etude_decoder(
+                self.config.paths.decoder_config,
+                self.config.paths.decoder_model,
+            )
 
-        tokenizer = TinyREMITokenizer(tempo_path=self.work_dir / "tempo.json")
-        condition_events = tokenizer.encode(self.work_dir / "extract.json")
-        condition_ids = vocab.encode_sequence(condition_events)
-        all_x_bars = split_sequence_into_bars(
-            condition_ids, vocab.bar_bos_id, vocab.bar_eos_id
-        )
+        with self.timer.span("decode: tokenize condition", nested=True):
+            tokenizer = TinyREMITokenizer(
+                tempo_path=self.work_dir / "tempo.json"
+            )
+            condition_events = tokenizer.encode(self.work_dir / "extract.json")
+            condition_ids = vocab.encode_sequence(condition_events)
+            all_x_bars = split_sequence_into_bars(
+                condition_ids, vocab.bar_bos_id, vocab.bar_eos_id
+            )
         logger.info(f"prepared {len(all_x_bars)} condition bars")
         if not all_x_bars:
             logger.warn("no condition bars; nothing to decode")
@@ -223,25 +232,27 @@ class InferencePipeline:
             logger.success(f"sweep MIDI files saved to {self.output_dir}")
             return
 
-        bars = engine.generate(
-            params, all_x_bars, [target_attributes] * len(all_x_bars),
-            temperature=d.temperature,
-            top_p=d.top_p,
-            max_output_tokens=d.max_output_tokens,
-            seed=seed,
-            progress=True,
-        )
+        with self.timer.span("decode: generate", nested=True):
+            bars = engine.generate(
+                params, all_x_bars, [target_attributes] * len(all_x_bars),
+                temperature=d.temperature,
+                top_p=d.top_p,
+                max_output_tokens=d.max_output_tokens,
+                seed=seed,
+                progress=True,
+            )
         generated_events = [
             e for bar in bars for e in vocab.decode_sequence_to_events(bar)
         ]
         if not generated_events:
             logger.warn("model generated an empty sequence")
             return
-        final_notes = tokenizer.decode_to_notes(
-            generated_events, volume_map_path=self.work_dir / "volume.json"
-        )
-        final_midi = self.output_dir / f"{final_filename}.mid"
-        TinyREMITokenizer.note_to_midi(final_notes, final_midi)
+        with self.timer.span("decode: detokenize+midi", nested=True):
+            final_notes = tokenizer.decode_to_notes(
+                generated_events, volume_map_path=self.work_dir / "volume.json"
+            )
+            final_midi = self.output_dir / f"{final_filename}.mid"
+            TinyREMITokenizer.note_to_midi(final_notes, final_midi)
         logger.success(f"final MIDI saved to {final_midi.resolve()}")
 
     # ---- driver --------------------------------------------------------
