@@ -94,6 +94,32 @@ def _transcribe_batch_impl(params, config, spec, branches):
     return result
 
 
+@functools.partial(
+    jax.jit, static_argnames=("config", "branches", "batch", "n_groups")
+)
+def _transcribe_groups(params, config: AMTConfig, feat_padded: jnp.ndarray,
+                       branches: tuple, batch: int, n_groups: int):
+    """ALL groups of a song in ONE program: `lax.map` over group windows of
+    the margin-padded feature map. One dispatch + one stacked download per
+    song instead of one per group — per-dispatch tunnel latency is the
+    dominant extract cost under service load, not device FLOPs. Compiled per
+    (batch, n_groups) where n_groups is bucketed by the caller."""
+    win_total = 2 * config.n_margin + batch * config.n_frame
+    win = 2 * config.n_margin + config.n_frame
+    starts = jnp.arange(batch, dtype=jnp.int32) * config.n_frame
+    idx = starts[:, None] + jnp.arange(win)[None, :]
+
+    def body(g):
+        feat_window = jax.lax.dynamic_slice(
+            feat_padded, (g * batch * config.n_frame, 0),
+            (win_total, feat_padded.shape[1]),
+        )
+        spec = jnp.transpose(feat_window[idx], (0, 2, 1))  # [B, n_bin, win]
+        return _transcribe_batch_impl(params, config, spec, branches)
+
+    return jax.lax.map(body, jnp.arange(n_groups, dtype=jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("config", "branches"))
 def _transcribe_batch(params, config: AMTConfig, spec: jnp.ndarray,
                       branches: tuple = ("freq", "time")):
@@ -160,9 +186,16 @@ class AMTAPC_Extractor:
 
     # ---- steps ---------------------------------------------------------
     def _wav2feature(self, audio_path: Union[str, Path],
-                     return_device: bool = False):
+                     return_device: bool = False, wave_sr=None):
         fc = self.config.feature
-        wave, _ = decode_audio(audio_path, target_sr=fc.sr, mono=True)
+        if wave_sr is not None:
+            from ..utils.audio import resample_audio
+
+            wave, native_sr = wave_sr
+            if native_sr != fc.sr:
+                wave = resample_audio(wave, native_sr, fc.sr)
+        else:
+            wave, _ = decode_audio(audio_path, target_sr=fc.sr, mono=True)
         logmel = log_mel_spectrogram(
             jnp.asarray(wave, jnp.float32),
             sr=fc.sr, n_fft=fc.fft_bins, hop=fc.hop_sample,
@@ -206,9 +239,15 @@ class AMTAPC_Extractor:
         n_seg = max(-(-T // n_frame), 1)
         B = self.segment_batch
         n_groups = -(-n_seg // B)
+        # Bucket the group count so song lengths share compiled programs
+        # (padding groups are min_value fill; their outputs are trimmed).
+        n_groups_bucket = next(
+            (b for b in (1, 2, 4, 8, 16, 32) if n_groups <= b),
+            -(-n_groups // 32) * 32,
+        )
 
         # Margin-padded device copy covering all (batch-padded) segments.
-        total = ic.margin_b + n_groups * B * n_frame + ic.margin_f
+        total = ic.margin_b + n_groups_bucket * B * n_frame + ic.margin_f
         feat_dev = jnp.asarray(feature, jnp.float32)
         pad_back = total - ic.margin_b - T
         feat_padded = jnp.pad(
@@ -216,21 +255,18 @@ class AMTAPC_Extractor:
             constant_values=ic.min_value,
         )
 
-        win_total = ic.margin_b + B * n_frame + ic.margin_f
-        # Dispatch ALL groups before fetching any result: converting group g
-        # to numpy inside the dispatch loop would block on its device→host
-        # transfer and serialize the remaining groups' compute behind it.
-        pending = []
-        for g in range(n_groups):
-            feat_window = jax.lax.dynamic_slice(
-                feat_padded, (g * B * n_frame, 0),
-                (win_total, feat_padded.shape[1]),
-            )
-            pending.append(_transcribe_group(
-                self.params, self.amt_config, feat_window,
-                branches=branches, batch=B,
-            ))
-        chunks = [jax.tree.map(np.asarray, out) for out in pending]
+        # ONE device program for all groups; stacked tree comes back in a
+        # single transfer (f16 logits / uint8 velocities on the wire).
+        stacked = jax.tree.map(
+            np.asarray,
+            _transcribe_groups(
+                self.params, self.amt_config, feat_padded,
+                branches=branches, batch=B, n_groups=n_groups_bucket,
+            ),
+        )
+        chunks = [
+            jax.tree.map(lambda v: v.reshape(-1, *v.shape[2:]), stacked)
+        ]
 
         # f16-logit/uint8 on the wire; widen on host.
         maps = widen_maps(chunks)
@@ -265,12 +301,15 @@ class AMTAPC_Extractor:
         output_json_path: Union[str, Path],
         output_midi_path: Optional[Union[str, Path]] = None,
         timer=None,
+        wave_sr=None,
     ):
         """Transcribe audio; write note JSON (and optional MIDI)."""
         from ..utils.profiling import maybe_span
 
         with maybe_span(timer, "extract: wav→mel"):
-            feature = self._wav2feature(audio_path, return_device=True)
+            feature = self._wav2feature(
+                audio_path, return_device=True, wave_sr=wave_sr
+            )
         with maybe_span(timer, "extract: hFT forward"):
             maps = self._transcript(feature)
         # Inference uses the refined time-branch (B) heads, like the

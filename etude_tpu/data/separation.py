@@ -53,7 +53,13 @@ def _power_to_db_jit(mel_power, true_frames_mask):
 @functools.partial(jax.jit, static_argnames=("config",))
 def _separate_mel_jit(params, config: SeparatorConfig, wave, true_frames,
                       cos_m, sin_m, fb):
-    """wave [N] (host reflect-padded) → per-stem mel power [stems, T, 128]."""
+    """wave [N] (host reflect-padded) → per-stem mel power [stems, T, 128].
+
+    int16 waves are accepted and scaled on device (exactly the host's
+    PCM/32768 conversion) — halves the host→HBM transfer, the dominant
+    structuralize cost on a tunneled chip."""
+    if wave.dtype == jnp.int16:
+        wave = wave.astype(jnp.float32) / 32768.0
     n_frames = 1 + (wave.shape[0] - SEP_N_FFT) // SEP_HOP
     idx = jnp.arange(SEP_N_FFT)[None, :] + SEP_HOP * jnp.arange(n_frames)[:, None]
     frames = wave[idx]
@@ -170,6 +176,7 @@ class SourceSeparator:
         output_npy_path: Optional[Union[str, Path]] = None,
         return_device: bool = False,
         timer=None,
+        wave_sr=None,
     ):
         """Audio → dB-mel features (5, time, 128).
 
@@ -179,7 +186,14 @@ class SourceSeparator:
         from ..utils.profiling import maybe_span
 
         with maybe_span(timer, "sep: wav decode"):
-            wave, _ = decode_audio(audio_path, target_sr=SEP_SR, mono=True)
+            if wave_sr is not None:
+                from ..utils.audio import resample_audio
+
+                wave, native_sr = wave_sr
+                if native_sr != SEP_SR:
+                    wave = resample_audio(wave, native_sr, SEP_SR)
+            else:
+                wave, _ = decode_audio(audio_path, target_sr=SEP_SR, mono=True)
         true_frames = 1 + len(wave) // SEP_HOP
         # Host reflect pad first, then bucket the frame count with zeros so
         # the true tail frames see the reflected signal (torch/librosa
@@ -189,6 +203,14 @@ class SourceSeparator:
         bucket_frames = int(np.ceil(true_frames / FRAME_BUCKET) * FRAME_BUCKET)
         target_len = (bucket_frames - 1) * SEP_HOP + SEP_N_FFT
         padded = np.pad(padded, (0, max(0, target_len - len(padded))))[:target_len]
+
+        # Ship int16 when the padded wave is exactly int16 PCM / 32768 (true
+        # for WAV input that was not resampled): the device rescale
+        # reproduces the host conversion bit-exactly at half the bytes.
+        scaled = padded * 32768.0
+        as_i16 = scaled.astype(np.int16)
+        if np.array_equal(as_i16.astype(np.float32), scaled):
+            padded = as_i16
 
         with maybe_span(timer, "sep: forward"):
             if self.bypass:
@@ -201,7 +223,7 @@ class SourceSeparator:
                 )
             else:
                 mel_power = _separate_mel(
-                    self.params, self.config, jnp.asarray(padded, jnp.float32),
+                    self.params, self.config, jnp.asarray(padded),
                     true_frames,
                 )
             mask = (jnp.arange(mel_power.shape[1]) < true_frames)

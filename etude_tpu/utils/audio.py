@@ -100,13 +100,21 @@ def analyze_volume(
     audio_path: Union[str, Path],
     sr: int = 22050,
     resolution: int = 20,
+    wave_sr: Optional[Tuple[np.ndarray, int]] = None,
 ) -> np.ndarray:
     """Normalized [0, 1] RMS loudness contour at `resolution` Hz.
 
     Frame length is 2 hops with centered (zero-padded) frames, matching the
-    reference's librosa RMS call.
+    reference's librosa RMS call. `wave_sr=(wave, native_sr)` reuses an
+    already-decoded waveform (the pipeline reads origin.wav once and shares
+    it across extract/volume/separation) — same resample path as decoding
+    from the file, so results are identical.
     """
-    wave, _ = decode_audio(audio_path, target_sr=sr, mono=True)
+    if wave_sr is not None:
+        wave, native_sr = wave_sr
+        wave = resample_audio(wave, native_sr, sr) if native_sr != sr else wave
+    else:
+        wave, _ = decode_audio(audio_path, target_sr=sr, mono=True)
     hop = sr // resolution
     frame = hop * 2
     padded = np.pad(wave, frame // 2)

@@ -96,26 +96,32 @@ class InferencePipeline:
             sys.exit(1)
         return local
 
-    def _run_stage1_extract(self, audio_path: Path) -> None:
+    def _run_stage1_extract(self, audio_path: Path, wave_sr=None,
+                            with_volume: bool = True) -> None:
         logger.stage("Extract: audio → feature notes")
         extractor = AMTAPC_Extractor(
             self.config.extractor,
             model_path=self.config.paths.extractor_model,
         )
         extractor.extract(audio_path, self.work_dir / "extract.json",
-                          timer=self.timer)
+                          timer=self.timer, wave_sr=wave_sr)
+        if with_volume:
+            self._run_volume(audio_path, wave_sr)
+
+    def _run_volume(self, audio_path: Path, wave_sr=None) -> None:
         with self.timer.span("extract: volume analysis", nested=True):
-            volume = analyze_volume(audio_path)
+            volume = analyze_volume(audio_path, wave_sr=wave_sr)
             save_volume_map(volume, self.work_dir / "volume.json")
 
-    def _run_stage2_structuralize(self, audio_path: Path) -> None:
+    def _run_stage2_structuralize(self, audio_path: Path, wave_sr=None) -> None:
         logger.stage("Structuralize: separation + beat grid")
         logger.step("Source separation (in-process)")
         separator = SourceSeparator(model_path=self.config.paths.separator_model)
         # Device-resident handoff: the beat detector consumes the features
         # directly, skipping the reference's sep.npy disk round trip.
         features = separator.separate_features(audio_path, return_device=True,
-                                               timer=self.timer)
+                                               timer=self.timer,
+                                               wave_sr=wave_sr)
 
         logger.step("Beat/downbeat detection")
         detector = BeatDetector(
@@ -276,18 +282,34 @@ class InferencePipeline:
                 # other's device half.
                 import concurrent.futures
 
+                # One decode of origin.wav shared by extract (16 kHz mel),
+                # volume (22.05 kHz RMS) and separation (44.1 kHz): each
+                # consumer resamples from the native waveform — the same
+                # arithmetic path as decoding per stage, read 3x → 1x.
+                from etude_tpu.utils.audio import decode_audio
+
+                with self.timer.span("audio decode"):
+                    wave_sr = decode_audio(audio_path, target_sr=None,
+                                           mono=True)
                 with self.timer.span("stage1+2_concurrent"):
-                    with concurrent.futures.ThreadPoolExecutor(2) as pool:
+                    # Volume analysis is independent of both neural stages:
+                    # third task, off the extract critical path.
+                    with concurrent.futures.ThreadPoolExecutor(3) as pool:
                         f1 = pool.submit(
                             self._timed, "stage1_extract",
-                            self._run_stage1_extract, audio_path,
+                            self._run_stage1_extract, audio_path, wave_sr,
+                            False,
                         )
                         f2 = pool.submit(
                             self._timed, "stage2_structuralize",
                             self._run_stage2_structuralize, audio_path,
+                            wave_sr,
                         )
+                        f3 = pool.submit(self._run_volume, audio_path,
+                                         wave_sr)
                         f1.result()
                         f2.result()
+                        f3.result()
             else:
                 logger.skip("stages 1 & 2 (decode-only mode)")
                 self._require_weights("decode")
