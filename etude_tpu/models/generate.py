@@ -78,6 +78,16 @@ def generate_bar(
     """
     B, P = prompt_ids.shape
 
+    # Pre-cast matmul weights to bf16 once, outside the decode loop (same
+    # numerics as the per-use cast; keeps the loop body reading 2-byte
+    # buffers — see generate_stream.generate_song_stream).
+    params = dict(params)
+    params["layers"] = {
+        name: (block if name in ("ln1", "ln2") else
+               jax.tree.map(lambda a: a.astype(jnp.bfloat16), block))
+        for name, block in params["layers"].items()
+    }
+
     # Cache sized to this bucket's window: P prompt slots + the generation
     # budget (bounded by max_position_embeddings).
     cache_len = min(P + max_new_tokens, config.max_position_embeddings)

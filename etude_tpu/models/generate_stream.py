@@ -236,6 +236,13 @@ def stream_chunk(
                                               # write slot_pos -1 (junk)
     max_hi: int = 16,
     compute_dtype=jnp.bfloat16,
+    hist_read: Optional[int] = None,  # static: with `hist`, the attention
+                                      # reads only slots [0, hist_read) ∪
+                                      # [hist, C) — exact whenever every
+                                      # live history slot is < hist_read
+                                      # (the caller guarantees it); cuts
+                                      # the HBM-bound cache read
+    hist: Optional[int] = None,
 ):
     """Encode S new tokens of the stream against the window cache.
 
@@ -265,12 +272,23 @@ def stream_chunk(
         cache["slot_pos"], pos_vals, (0, slot_offset)
     )
 
-    # Attention bias [B, 1, S, C]: visible iff win_start <= key_pos <=
-    # query_pos (slot_pos == -1 is never visible since win_start >= 0).
-    key_pos = new_slot_pos[:, None, None, :]
-    q_pos = positions[:, None, :, None]
-    visible = (key_pos >= win_start[:, None, None, None]) & (key_pos <= q_pos)
-    bias = jnp.where(visible, 0.0, -1e9).astype(jnp.float32)
+    C = cache["k"].shape[-1]
+    quant = "k_scale" in cache
+
+    def bias_for(regions):
+        # Attention bias [B, 1, S, R]: visible iff win_start <= key_pos <=
+        # query_pos (slot_pos == -1 never visible since win_start >= 0).
+        key_pos = jnp.concatenate(
+            [new_slot_pos[:, lo:hi] for lo, hi in regions], axis=1
+        )[:, None, None, :]
+        q_pos = positions[:, None, :, None]
+        visible = (key_pos >= win_start[:, None, None, None]) & (
+            key_pos <= q_pos
+        )
+        return jnp.where(visible, 0.0, -1e9).astype(jnp.float32)
+
+    if quant:
+        bias = bias_for(((0, C),))
 
     # Python loop over layers with STATIC layer indices. A lax.scan carrying
     # the stacked [L, ...] cache as xs/ys rebuilds the whole stacked
@@ -279,7 +297,6 @@ def stream_chunk(
     # read traffic per decode step. Static indexing keeps the cache threaded
     # linearly, so the only cache traffic is the (l, slot) DUS write and the
     # attention read; layer param slices are loop-invariant and hoisted.
-    quant = "k_scale" in cache
     new_k, new_v = cache["k"], cache["v"]
     new_ks = cache.get("k_scale")
     new_vs = cache.get("v_scale")
@@ -331,13 +348,44 @@ def stream_chunk(
                 * q_s.transpose(0, 2, 1)[:, :, :, None]
                 * new_ks[layer_idx][:, :, None, :]
             ) / np.sqrt(head_dim)
+            probs = jax.nn.softmax(scores + bias, axis=-1)
         else:
-            scores = jnp.einsum(
-                "bqhd,bhdc->bhqc",
-                q.astype(compute_dtype), new_k[layer_idx].astype(compute_dtype),
-                preferred_element_type=jnp.float32,
-            ) / np.sqrt(head_dim)
-        probs = jax.nn.softmax(scores + bias, axis=-1)
+            # Read-only attention over static slot regions: with hist_read
+            # set, the dead tail of the history region is neither read nor
+            # scored. NOTE: the region choice must be STATIC — wrapping
+            # this block (or the whole decode loop) in lax.cond/switch
+            # benched SLOWER than the full read, the branch boundary
+            # copying the captured cache buffers every step/bar.
+            if hist_read is not None and hist is not None \
+                    and hist_read < hist:
+                regions = ((0, hist_read), (hist, C))
+            else:
+                regions = ((0, C),)
+            k_l, v_l = new_k[layer_idx], new_v[layer_idx]
+            q_c = q.astype(compute_dtype)
+
+            scores = jnp.concatenate([
+                jnp.einsum(
+                    "bqhd,bhdc->bhqc", q_c,
+                    jax.lax.slice_in_dim(
+                        k_l, lo, hi, axis=3
+                    ).astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                for lo, hi in regions
+            ], axis=-1) / np.sqrt(head_dim)
+            probs = jax.nn.softmax(scores + bias_for(regions), axis=-1)
+            ctx = 0.0
+            r0 = 0
+            for lo, hi in regions:
+                ctx = ctx + jnp.einsum(
+                    "bhqc,bhdc->bqhd",
+                    probs[..., r0:r0 + hi - lo].astype(compute_dtype),
+                    jax.lax.slice_in_dim(
+                        v_l, lo, hi, axis=3
+                    ).astype(compute_dtype),
+                )
+                r0 += hi - lo
         w_o = layer["attn_out"]["w"].astype(compute_dtype).reshape(
             n_heads, head_dim, -1
         )
@@ -358,11 +406,6 @@ def stream_chunk(
                 c32.astype(jnp.float32)
                 * p_scale.transpose(0, 2, 1)[..., None]
             ).astype(compute_dtype)
-        else:
-            ctx = jnp.einsum(
-                "bhqc,bhdc->bqhd", probs.astype(compute_dtype),
-                new_v[layer_idx].astype(compute_dtype),
-            )
         attn_out = jnp.einsum(
             "bqhd,hde->bqe", ctx, w_o
         ) + layer["attn_out"]["b"].astype(compute_dtype)
@@ -420,6 +463,19 @@ def generate_song_stream(
     """
     B, N_BARS, X = x_tokens.shape
     cache_len = hist + X + 1 + max_new_tokens
+
+    # Pre-cast the matmul weights to bf16 ONCE, outside the bar/step loops:
+    # stream_chunk casts them at use anyway (same numerics), but doing it
+    # here keeps the while_loop body reading 2-byte buffers — the f32
+    # master weights would otherwise be re-read (and re-cast) every decode
+    # step (~50 MB/step of avoidable HBM traffic). LayerNorm params and the
+    # LM head are consumed in f32 and stay untouched.
+    params = dict(params)
+    params["layers"] = {
+        name: (block if name in ("ln1", "ln2") else
+               jax.tree.map(lambda a: a.astype(jnp.bfloat16), block))
+        for name, block in params["layers"].items()
+    }
 
     cache = init_stream_cache(config, B, cache_len, quant=kv_quant)
 
@@ -506,34 +562,50 @@ def generate_song_stream(
             step, _, _, done, _, _, _ = s
             return (step < max_new_tokens) & (~jnp.all(done))
 
-        def body(s):
-            step, last_logits, cache, done, bar_out, counts, rng = s
-            rng, sub = jax.random.split(rng)
-            tok = sample_token(last_logits, sub, temperature, top_p).astype(jnp.int32)
-            tok = jnp.where(done, pad_id, tok)
-            bar_out = jax.lax.dynamic_update_slice(bar_out, tok[:, None], (0, step))
-            counts = counts + jnp.where(done, 0, 1)
-            done_next = done | (tok == bar_eos_id)
+        def make_body(hist_read):
+            def body(s):
+                step, last_logits, cache, done, bar_out, counts, rng = s
+                rng, sub = jax.random.split(rng)
+                tok = sample_token(
+                    last_logits, sub, temperature, top_p
+                ).astype(jnp.int32)
+                tok = jnp.where(done, pad_id, tok)
+                bar_out = jax.lax.dynamic_update_slice(
+                    bar_out, tok[:, None], (0, step)
+                )
+                counts = counts + jnp.where(done, 0, 1)
+                done_next = done | (tok == bar_eos_id)
 
-            # Parked streams' positions do not advance; their slot gets
-            # slot_pos -1 (valid_len 0) so the junk K/V is never visible.
-            pos = x_end + 1 + step
-            logits, cache = stream_chunk(
-                params, config, cache, tok[:, None], cls1, attr1,
-                start_pos=pos, win_start=win_start,
-                slot_offset=jnp.int32(hist + X + 1) + step,
-                valid_len=jnp.where(done, 0, 1),
-                max_hi=max_hi,
-            )
-            return (step + 1, logits[:, 0], cache, done_next, bar_out,
-                    counts, rng)
+                # Parked streams' positions do not advance; their slot gets
+                # slot_pos -1 (valid_len 0) so the junk K/V is never
+                # visible.
+                pos = x_end + 1 + step
+                logits, cache = stream_chunk(
+                    params, config, cache, tok[:, None], cls1, attr1,
+                    start_pos=pos, win_start=win_start,
+                    slot_offset=jnp.int32(hist + X + 1) + step,
+                    valid_len=jnp.where(done, 0, 1),
+                    max_hi=max_hi,
+                    hist_read=hist_read, hist=hist,
+                )
+                return (step + 1, logits[:, 0], cache, done_next, bar_out,
+                        counts, rng)
+            return body
 
         rng, sub = jax.random.split(rng)
-        state0 = (jnp.int32(0), last_logits, cache_y, done0, bar_out0,
-                  counts0, sub)
-        _, _, cache, _, bar_out, counts, _ = jax.lax.while_loop(
-            cond, body, state0
-        )
+        state = (jnp.int32(0), last_logits, cache_y, done0, bar_out0,
+                 counts0, sub)
+        # ONE plain while_loop, full-width cache read. Dynamic read
+        # narrowing was tried three ways and all benched SLOWER at B=16
+        # than just reading the whole cache, despite a 2.3x faster step in
+        # isolation at the narrow width: lax.switch around the loop, a
+        # per-step lax.switch around only the read+softmax+ctx block, and
+        # a chain of gated while_loops all broke XLA's in-place aliasing
+        # of the carried cache (branch/loop boundaries copy the [L,B,H,D,C]
+        # buffers). Keep the loop structure dead simple; shrink C via
+        # engine config (prompt_cap) instead.
+        state = jax.lax.while_loop(cond, make_body(None), state)
+        _, _, cache, _, bar_out, counts, _ = state
 
         y_tokens = jax.lax.dynamic_update_slice(
             y_tokens, bar_out[:, None, :], (0, i, 0)
