@@ -248,6 +248,15 @@ class TrainConfig(BaseModel):
 
     save_every_n_epochs: int = 10
 
+    # DAgger-style exposure-bias fine-tuning: history Y bars come from the
+    # model's own rollouts (NNNN_hist.npy, scripts/dagger_rollouts.py)
+    # instead of the teacher bars. Opt-in so generating rollout files never
+    # silently changes a plain training run.
+    dagger_history: bool = False
+    # Warm-start params from a checkpoint's model dir (fresh optimizer /
+    # schedule — unlike resume_from_checkpoint which restores both).
+    init_from: Optional[Path] = None
+
 
 class InferConfig(BaseModel):
     cleanup_intermediate: bool = False

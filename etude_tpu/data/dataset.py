@@ -183,6 +183,7 @@ class EtudeDataset:
         max_seq_len: int = 1024,
         src_suffix: str = "_src.npy",
         tgt_suffix: str = "_tgt.npy",
+        hist_suffix: Optional[str] = "_hist.npy",
         data_format: str = "npy",
         num_attribute_bins: int = 3,
         context_num_past_xy_pairs: int = 4,
@@ -192,6 +193,14 @@ class EtudeDataset:
         self.max_seq_len = max_seq_len
         self.src_suffix = src_suffix
         self.tgt_suffix = tgt_suffix
+        # DAgger-style exposure-bias training: when NNNN_hist.npy exists
+        # (the model's OWN free-running rollout, scripts/dagger_rollouts.py),
+        # history Y bars come from it while the current-bar target (labels)
+        # stays the teacher's — training sees the same self-generated
+        # history distribution that inference produces. History attribute
+        # bins stay the TEACHER pair's (the engine conditions history on the
+        # requested bins, not recomputed ones). hist_suffix=None disables.
+        self.hist_suffix = hist_suffix
         self.data_format = data_format
         self.num_attribute_bins = num_attribute_bins
         self.context_pairs = context_num_past_xy_pairs
@@ -240,13 +249,32 @@ class EtudeDataset:
                 continue
             src_bars = split_ids_into_bars(src_ids, self.bar_bos_id, self.bar_eos_id)
             tgt_bars = split_ids_into_bars(tgt_ids, self.bar_bos_id, self.bar_eos_id)
+            hist_bars = None
+            if self.hist_suffix:
+                hist_f = subdir / f"{subdir.name}{self.hist_suffix}"
+                if hist_f.exists():
+                    hist_ids = self._load_ids(hist_f)
+                    cand = split_ids_into_bars(
+                        hist_ids, self.bar_bos_id, self.bar_eos_id
+                    )
+                    # Rollouts must align 1:1 with the teacher bars.
+                    if len(cand) == min(len(src_bars), len(tgt_bars)):
+                        hist_bars = cand
+                    else:
+                        logger.warn(
+                            f"{hist_f.name}: {len(cand)} bars vs "
+                            f"{len(tgt_bars)} teacher bars — ignored"
+                        )
             bars = []
-            for sb, tb in zip(src_bars, tgt_bars):
+            for i, (sb, tb) in enumerate(zip(src_bars, tgt_bars)):
                 attrs = compute_relative_attributes(
                     extract_bar_features(sb, self.vocab),
                     extract_bar_features(tb, self.vocab),
                 )
-                bars.append({"attributes": attrs, "src_bar_ids": sb, "tgt_bar_ids": tb})
+                bars.append({
+                    "attributes": attrs, "src_bar_ids": sb, "tgt_bar_ids": tb,
+                    "hist_bar_ids": hist_bars[i] if hist_bars else tb,
+                })
             if bars:
                 songs.append({"song_name": subdir.name, "bars": bars})
         return songs
@@ -281,7 +309,8 @@ class EtudeDataset:
                 past = bars[hist_idx]
                 bin_map = self._bar_attr_bins(past)
                 extend(past["src_bar_ids"], SRC_CLASS_ID, bin_map)
-                extend(past["tgt_bar_ids"], TGT_CLASS_ID, bin_map)
+                extend(past.get("hist_bar_ids", past["tgt_bar_ids"]),
+                       TGT_CLASS_ID, bin_map)
             else:
                 neutral = {s: 1 for s in shorts}
                 extend(empty_bar, SRC_CLASS_ID, neutral)
@@ -314,8 +343,9 @@ class EtudeDataset:
                 for k in range(self.context_pairs):
                     hist_idx = bar_idx - (self.context_pairs - k)
                     if hist_idx >= 0:
-                        ctx += len(bars[hist_idx]["src_bar_ids"]) + len(
-                            bars[hist_idx]["tgt_bar_ids"]
+                        past = bars[hist_idx]
+                        ctx += len(past["src_bar_ids"]) + len(
+                            past.get("hist_bar_ids", past["tgt_bar_ids"])
                         )
                     else:
                         ctx += 2 * empty_len

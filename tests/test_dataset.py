@@ -178,3 +178,46 @@ def test_dataset_empty_dir(tmp_path, vocab):
     ds = EtudeDataset(tmp_path / "nothing", vocab, max_seq_len=64)
     assert len(ds) == 0
     assert list(ds.batches(batch_size=4)) == []
+
+
+def test_dataset_dagger_history(tmp_path, vocab):
+    """With NNNN_hist.npy present and hist_suffix set, history Y bars come
+    from the rollout file while the current-bar target (labels) and the
+    attribute bins stay the teacher's."""
+    _write_song(tmp_path, vocab, "0000")
+    hist_ids = []
+    for i in range(6):
+        hist_ids += _bar(vocab, [(0, 40 + i, 2)])  # distinct from teacher
+    np.save(tmp_path / "0000" / "0000_hist.npy",
+            np.asarray(hist_ids, np.int32))
+
+    base = EtudeDataset(tmp_path, vocab, max_seq_len=512, hist_suffix=None)
+    ds = EtudeDataset(tmp_path, vocab, max_seq_len=512)  # default suffix
+
+    # Attribute edges identical (attrs always from teacher pairs).
+    for k, e in base.attribute_bin_edges.items():
+        np.testing.assert_array_equal(e, ds.attribute_bin_edges[k])
+
+    bar_idx = 4
+    s_hist = ds._full_sample(0, bar_idx)
+    s_base = base._full_sample(0, bar_idx)
+
+    # Labels still supervise the TEACHER bar.
+    tgt_bar = ds.songs[0]["bars"][bar_idx]["tgt_bar_ids"]
+    labels = np.asarray(s_hist["labels"])
+    np.testing.assert_array_equal(labels[-len(tgt_bar):-1], tgt_bar[1:])
+
+    # History region contains the rollout bars (each X is followed by the
+    # rollout Y, not the teacher Y), and differs from the teacher sample.
+    hist_bars = split_ids_into_bars(hist_ids, vocab.bar_bos_id, vocab.bar_eos_id)
+    joined = ",".join(map(str, s_hist["input_ids"]))
+    for hb in hist_bars[:bar_idx][-4:]:
+        assert ",".join(map(str, hb)) in joined
+    assert s_hist["input_ids"] != s_base["input_ids"]
+
+    # A mismatched rollout bar count is ignored (falls back to teacher).
+    np.save(tmp_path / "0000" / "0000_hist.npy",
+            np.asarray(hist_ids[: len(hist_ids) // 2], np.int32))
+    ds2 = EtudeDataset(tmp_path, vocab, max_seq_len=512)
+    s2 = ds2._full_sample(0, bar_idx)
+    assert s2["input_ids"] == s_base["input_ids"]

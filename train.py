@@ -82,10 +82,21 @@ def main(argv=None) -> int:
         cfg.paths.tokenized_dir,
         vocab,
         max_seq_len=tc.max_seq_len,
+        hist_suffix="_hist.npy" if tc.dagger_history else None,
         data_format=tc.data_format,
         num_attribute_bins=cfg.decoder.num_attribute_bins,
         context_num_past_xy_pairs=cfg.decoder.context_num_past_xy_pairs,
     )
+    if tc.dagger_history:
+        n_hist = sum(
+            1 for s in dataset.songs
+            if any(b["hist_bar_ids"] is not b["tgt_bar_ids"]
+                   for b in s["bars"])
+        )
+        logger.info(
+            f"DAgger history: {n_hist}/{len(dataset.songs)} songs have "
+            "model rollouts (scripts/dagger_rollouts.py)"
+        )
     if len(dataset) == 0:
         logger.error("dataset is empty — run prepare.py first")
         return 1
@@ -94,6 +105,12 @@ def main(argv=None) -> int:
     model_config = build_model_config(cfg, len(vocab))
     params = init_params(model_config, seed=cfg.env.seed)
     logger.info(f"model: {param_count(params) / 1e6:.2f}M params")
+    if tc.init_from:
+        from etude_tpu.utils.training import load_params_only
+
+        params = load_params_only(Path(tc.init_from), params)
+        logger.success(f"warm-started params from {tc.init_from} "
+                       "(fresh optimizer/schedule)")
 
     accum = tc.gradient_accumulation_steps
     global_batch = tc.batch_size * accum
