@@ -183,7 +183,7 @@ class EtudeDataset:
         max_seq_len: int = 1024,
         src_suffix: str = "_src.npy",
         tgt_suffix: str = "_tgt.npy",
-        hist_suffix: Optional[str] = "_hist.npy",
+        hist_suffix: Optional[str] = None,
         data_format: str = "npy",
         num_attribute_bins: int = 3,
         context_num_past_xy_pairs: int = 4,

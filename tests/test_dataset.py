@@ -192,7 +192,8 @@ def test_dataset_dagger_history(tmp_path, vocab):
             np.asarray(hist_ids, np.int32))
 
     base = EtudeDataset(tmp_path, vocab, max_seq_len=512, hist_suffix=None)
-    ds = EtudeDataset(tmp_path, vocab, max_seq_len=512)  # default suffix
+    ds = EtudeDataset(tmp_path, vocab, max_seq_len=512,
+                      hist_suffix="_hist.npy")
 
     # Attribute edges identical (attrs always from teacher pairs).
     for k, e in base.attribute_bin_edges.items():
@@ -218,6 +219,7 @@ def test_dataset_dagger_history(tmp_path, vocab):
     # A mismatched rollout bar count is ignored (falls back to teacher).
     np.save(tmp_path / "0000" / "0000_hist.npy",
             np.asarray(hist_ids[: len(hist_ids) // 2], np.int32))
-    ds2 = EtudeDataset(tmp_path, vocab, max_seq_len=512)
+    ds2 = EtudeDataset(tmp_path, vocab, max_seq_len=512,
+                       hist_suffix="_hist.npy")
     s2 = ds2._full_sample(0, bar_idx)
     assert s2["input_ids"] == s_base["input_ids"]
