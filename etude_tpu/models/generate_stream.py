@@ -287,8 +287,13 @@ def stream_chunk(
         )
         return jnp.where(visible, 0.0, -1e9).astype(jnp.float32)
 
-    if quant:
-        bias = bias_for(((0, C),))
+    # The read regions (and hence the bias) are identical for every layer:
+    # compute the bias ONCE here, not per layer.
+    if quant or hist_read is None or hist is None or hist_read >= hist:
+        read_regions = ((0, C),)
+    else:
+        read_regions = ((0, hist_read), (hist, C))
+    bias = bias_for(read_regions)
 
     # Python loop over layers with STATIC layer indices. A lax.scan carrying
     # the stacked [L, ...] cache as xs/ys rebuilds the whole stacked
@@ -356,11 +361,6 @@ def stream_chunk(
             # this block (or the whole decode loop) in lax.cond/switch
             # benched SLOWER than the full read, the branch boundary
             # copying the captured cache buffers every step/bar.
-            if hist_read is not None and hist is not None \
-                    and hist_read < hist:
-                regions = ((0, hist_read), (hist, C))
-            else:
-                regions = ((0, C),)
             k_l, v_l = new_k[layer_idx], new_v[layer_idx]
             q_c = q.astype(compute_dtype)
 
@@ -372,12 +372,12 @@ def stream_chunk(
                     ).astype(compute_dtype),
                     preferred_element_type=jnp.float32,
                 )
-                for lo, hi in regions
+                for lo, hi in read_regions
             ], axis=-1) / np.sqrt(head_dim)
-            probs = jax.nn.softmax(scores + bias_for(regions), axis=-1)
+            probs = jax.nn.softmax(scores + bias, axis=-1)
             ctx = 0.0
             r0 = 0
-            for lo, hi in regions:
+            for lo, hi in read_regions:
                 ctx = ctx + jnp.einsum(
                     "bhqc,bhdc->bqhd",
                     probs[..., r0:r0 + hi - lo].astype(compute_dtype),
