@@ -430,7 +430,7 @@ def stream_chunk(
     static_argnames=(
         "config", "n_ctx", "max_new_tokens", "hist",
         "bar_bos_id", "bar_eos_id", "pad_id", "prompt_cap", "prompt_keep",
-        "max_hi", "kv_quant",
+        "max_hi", "kv_quant", "hist_read",
     ),
 )
 def generate_song_stream(
@@ -455,6 +455,10 @@ def generate_song_stream(
     prompt_keep: int,
     max_hi: int,
     kv_quant: bool = False,
+    hist_read: Optional[int] = None,  # static: see stream_chunk — the
+                                      # engine derives it from the packed
+                                      # bar lengths (window never exceeds
+                                      # prompt_cap − 1 − min bar length)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Generate every bar of a song in one on-device program.
 
@@ -541,6 +545,7 @@ def generate_song_stream(
             params, config, cache, x_i, cls_seq, attr_seq,
             start_pos=cur, win_start=win_start,
             slot_offset=jnp.int32(hist), valid_len=len_i, max_hi=max_hi,
+            hist_read=hist_read, hist=hist,
         )
 
         # ---- Bar_BOS opener (target class, target attrs) → first logits.
@@ -551,6 +556,7 @@ def generate_song_stream(
             params, config, cache_x, bos, cls1, attr1,
             start_pos=x_end, win_start=win_start,
             slot_offset=jnp.int32(hist + X), max_hi=max_hi,
+            hist_read=hist_read, hist=hist,
         )
         last_logits = logits[:, 0]
 
@@ -595,16 +601,16 @@ def generate_song_stream(
         rng, sub = jax.random.split(rng)
         state = (jnp.int32(0), last_logits, cache_y, done0, bar_out0,
                  counts0, sub)
-        # ONE plain while_loop, full-width cache read. Dynamic read
-        # narrowing was tried three ways and all benched SLOWER at B=16
-        # than just reading the whole cache, despite a 2.3x faster step in
-        # isolation at the narrow width: lax.switch around the loop, a
-        # per-step lax.switch around only the read+softmax+ctx block, and
-        # a chain of gated while_loops all broke XLA's in-place aliasing
-        # of the carried cache (branch/loop boundaries copy the [L,B,H,D,C]
-        # buffers). Keep the loop structure dead simple; shrink C via
-        # engine config (prompt_cap) instead.
-        state = jax.lax.while_loop(cond, make_body(None), state)
+        # ONE plain while_loop. DYNAMIC read narrowing was tried three
+        # ways and all benched SLOWER at B=16 than the full-width read,
+        # despite a 2.3x faster step in isolation at the narrow width:
+        # lax.switch around the loop, a per-step lax.switch around only
+        # the read+softmax+ctx block, and a chain of gated while_loops all
+        # broke XLA's in-place aliasing of the carried cache (branch/loop
+        # boundaries copy the [L,B,H,D,C] buffers). The loop stays
+        # branch-free; the only read narrowing is the STATIC `hist_read`
+        # bound the engine derives at pack time.
+        state = jax.lax.while_loop(cond, make_body(hist_read), state)
         _, _, cache, _, bar_out, counts, _ = state
 
         y_tokens = jax.lax.dynamic_update_slice(
@@ -765,6 +771,24 @@ class StreamingGenerationEngine:
         # x_end - win_start by prompt_cap - 1; seeding adds 4·n_ctx).
         hist = max(self.prompt_cap, 4 * n_ctx)
 
+        # STATIC attention-read bound for the history region: for bar i,
+        # window_len = prompt_len − len_i and prompt_len ≤ prompt_cap − 1
+        # (with or without truncation), so window_len ≤ prompt_cap − 1 −
+        # min(len_i) over every bar that will run (only bars [0, num_bars)
+        # run — bucket padding must not weaken the bound; per-stream empty
+        # padding bars inside that range weaken it automatically). Slots at
+        # or beyond the bound are always dead — the decode step skips
+        # reading them with zero control flow (stream_chunk hist_read).
+        # Engaged only when it saves ≥ a quarter of the history read
+        # (measured: the two-region structure — extra einsums, sliced
+        # reads — costs more than a small saving buys; a weak bound
+        # benched 14.0k → 10.3k tok/s at B=16). 128-aligned for tiling.
+        min_len = int(x_lens[:, :num_bars].min()) if x_lens.size else 2
+        bound = max(self.prompt_cap - 1 - min_len, 4 * n_ctx)
+        hist_read = -(-bound // 128) * 128
+        if hist_read > (3 * hist) // 4:
+            hist_read = None
+
         if progress:
             logger.info(
                 f"streaming generation: {num_bars} bars "
@@ -806,6 +830,7 @@ class StreamingGenerationEngine:
             prompt_keep=self.prompt_keep,
             max_hi=max_hi,
             kv_quant=self.kv_quant,
+            hist_read=hist_read,
         )
         y_tokens = np.asarray(y_tokens)
         y_counts = np.asarray(y_counts)
