@@ -347,6 +347,10 @@ def main(argv=None) -> int:
     gen = parser.add_argument_group("Generation Parameters")
     gen.add_argument("--temperature", type=float, default=None)
     gen.add_argument("--top-p", type=float, default=None)
+    gen.add_argument("--device", type=str, default=None,
+                     choices=["auto", "tpu", "cpu"],
+                     help="override device selection (reference surface: "
+                          "its cuda/mps choices map to this stack's tpu)")
     gen.add_argument("--seed", type=int, default=0)
     gen.add_argument("--sweep", action="store_true",
                      help="decode all 27 attribute combinations (batched)")
@@ -361,6 +365,17 @@ def main(argv=None) -> int:
                           "musically meaningless)")
 
     args = parser.parse_args(argv)
+
+    if args.device == "cpu":
+        # Must land before the first backend use; jax resolves platforms
+        # lazily, so setting it here (before any pipeline device work)
+        # takes effect even though jax is already imported. "tpu"/"auto"
+        # keep jax's default resolution (the accelerator plugin may
+        # register under a platform alias, e.g. "axon" on hosted chips —
+        # forcing the literal name would reject it).
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
 
     overrides = {}
     if args.temperature is not None:
