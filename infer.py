@@ -307,6 +307,15 @@ class InferencePipeline:
                         )
                         f3 = pool.submit(self._run_volume, audio_path,
                                          wave_sr)
+                        # Prefetch the decoder weights while the neural
+                        # stages run: load_params_only caches per (path,
+                        # mtime), so stage 3's load becomes a cache hit
+                        # even on a process's first song.
+                        pool.submit(
+                            load_etude_decoder,
+                            self.config.paths.decoder_config,
+                            self.config.paths.decoder_model,
+                        )
                         f1.result()
                         f2.result()
                         f3.result()
