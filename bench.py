@@ -180,6 +180,10 @@ def main() -> None:
         "value": round(n_tok_b / dt_b, 2),
         "unit": "tokens/s",
         "vs_baseline": round(n_tok_b / dt_b / REF_TOKENS_PER_SEC, 3),
+        "vs_baseline_note": "reference rate is an ESTIMATE "
+                            f"({REF_TOKENS_PER_SEC:.0f} tok/s for its "
+                            "host-synced Python sampling loop on its stated "
+                            "GPU class; the repo publishes no speed numbers)",
         "single_stream_tok_s": round(n_tok_s / dt_s, 2),
         "single_stream_tokens": int(n_tok_s),
         "batched_tokens": int(n_tok_b),

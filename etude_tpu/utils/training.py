@@ -150,13 +150,22 @@ def save_params_only(
 _PARAMS_CACHE: Dict[Tuple[str, float], Any] = {}
 
 
-def load_params_only(path: Union[str, Path], abstract_params: Any) -> Any:
+def load_params_only(
+    path: Union[str, Path], abstract_params: Any, cache: bool = True
+) -> Any:
+    """Restore a params-only checkpoint onto the default device.
+
+    ``cache=False`` skips the process-level cache — required when the
+    caller feeds the params into a buffer-donating computation (e.g. the
+    train step's ``donate_argnums``), which would leave the cached device
+    buffers dangling.
+    """
     path = Path(path).resolve()
     key = (str(path), path.stat().st_mtime)
-    cached = _PARAMS_CACHE.get(key)
-    if cached is not None and (
-        jax.tree.structure(cached) == jax.tree.structure(abstract_params)
-    ):
+    cached = _PARAMS_CACHE.get(key) if cache else None
+    if cached is not None and jax.eval_shape(
+        lambda: cached
+    ) == jax.eval_shape(lambda: abstract_params):
         return cached
     restored = _checkpointer().restore(path, item={"params": abstract_params})
     # Checkpoints may be stored in reduced precision (f16 shipped weights);
@@ -170,7 +179,13 @@ def load_params_only(path: Union[str, Path], abstract_params: Any) -> Any:
     # chip that is ~2 s of transfer per call for the 25M decoder (measured),
     # dwarfing the launch it feeds.
     params = jax.device_put(params)
-    _PARAMS_CACHE[key] = params
+    if cache:
+        # Bound the cache: one (latest-mtime) entry per checkpoint path, so
+        # repeated retrains in a long-lived process don't accumulate stale
+        # device buffers.
+        for stale in [k for k in _PARAMS_CACHE if k[0] == key[0]]:
+            del _PARAMS_CACHE[stale]
+        _PARAMS_CACHE[key] = params
     return params
 
 

@@ -45,6 +45,10 @@ class InferencePipeline:
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.work_dir.mkdir(parents=True, exist_ok=True)
         self.timer = StageTimer()
+        import jax
+
+        logger.info(f"Backend: {jax.default_backend()} "
+                    f"({len(jax.devices())} device(s))")
         logger.info(f"Output directory: {self.output_dir.resolve()}")
         logger.info(f"Working directory: {self.work_dir.resolve()}")
 
@@ -376,15 +380,16 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     if args.device == "cpu":
-        # Must land before the first backend use; jax resolves platforms
-        # lazily, so setting it here (before any pipeline device work)
-        # takes effect even though jax is already imported. "tpu"/"auto"
-        # keep jax's default resolution (the accelerator plugin may
-        # register under a platform alias, e.g. "axon" on hosted chips —
-        # forcing the literal name would reject it).
-        import os
+        # The hosted-TPU plugin registers eagerly and ignores JAX_PLATFORMS;
+        # jax.config.update BEFORE first backend use is the mechanism that
+        # actually works here (same as tests/conftest.py and
+        # scripts/cpu_run.py). "tpu"/"auto" keep jax's default resolution
+        # (the accelerator plugin may register under a platform alias,
+        # e.g. "axon" on hosted chips — forcing the literal name would
+        # reject it).
+        import jax
 
-        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
 
     overrides = {}
     if args.temperature is not None:

