@@ -198,13 +198,25 @@ def embed_inputs(
 ) -> jnp.ndarray:
     """Summed input embedding: word + class + projected attributes."""
     word = params["word_emb"][input_ids]
+    return (word + embed_class_attrs(params, class_ids, attr_ids)).astype(
+        compute_dtype
+    )
+
+
+def embed_class_attrs(
+    params: Params,
+    class_ids: jnp.ndarray,            # [B, T] int32
+    attr_ids: Dict[str, jnp.ndarray],  # each [B, T] int32
+) -> jnp.ndarray:
+    """Class + projected-attribute part of the input embedding ([B, T, h]
+    f32). Split out so generation loops can hoist it: class and attribute
+    ids are constant across a bar's decode steps."""
     cls = params["class_emb"][class_ids]
     attrs = jnp.concatenate(
         [params["attr_emb"][name][attr_ids[name]] for name in ATTRIBUTE_ORDER],
         axis=-1,
     )
-    proj = attrs @ params["attr_proj"]["w"] + params["attr_proj"]["b"]
-    return (word + cls + proj).astype(compute_dtype)
+    return cls + attrs @ params["attr_proj"]["w"] + params["attr_proj"]["b"]
 
 
 # ------------------------------------------------------------------ forward

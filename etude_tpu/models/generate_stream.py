@@ -82,6 +82,7 @@ from .decoder import (
     Params,
     _layer_norm,
     _rotate_half,
+    embed_class_attrs,
     embed_inputs,
 )
 from .generate import ATTR_KEYS, _ATTR_KEY_TO_NAME
@@ -243,6 +244,11 @@ def stream_chunk(
                                       # (the caller guarantees it); cuts
                                       # the HBM-bound cache read
     hist: Optional[int] = None,
+    embed_extra: Optional[jnp.ndarray] = None,  # [B, S, hidden] precomputed
+                                      # class+attribute embedding sum — the
+                                      # decode loop hoists it (constant per
+                                      # bar), skipping the gathers + proj
+                                      # matmul every step
 ):
     """Encode S new tokens of the stream against the window cache.
 
@@ -256,7 +262,12 @@ def stream_chunk(
     n_heads, head_dim = config.num_attention_heads, config.head_dim
     eps = config.layer_norm_eps
 
-    h = embed_inputs(params, config, input_ids, class_ids, attr_ids, compute_dtype)
+    if embed_extra is None:
+        h = embed_inputs(
+            params, config, input_ids, class_ids, attr_ids, compute_dtype
+        )
+    else:
+        h = (params["word_emb"][input_ids] + embed_extra).astype(compute_dtype)
 
     positions = start_pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None]  # [B,S]
     cos, sin = _rotary_at(positions, config, max_hi)
@@ -564,6 +575,15 @@ def generate_song_stream(
         counts0 = jnp.zeros((B,), jnp.int32)
         bar_out0 = jnp.full((B, max_new_tokens), pad_id, jnp.int32)
 
+        # Decode-loop hoist (preserves stream_chunk numerics exactly):
+        # class/attr ids are constant across the bar → precompute their
+        # embedding sum once instead of re-gathering + projecting per step.
+        # (An incremental bias carry — one DUS/step instead of rebuilding
+        # the [B, C] position comparisons — was also benched: within noise
+        # of the rebuild at B=16; the extra carried buffer was not worth
+        # the complexity and was removed.)
+        extra1 = embed_class_attrs(params, cls1, attr1)  # [B, 1, hidden] f32
+
         def cond(s):
             step, _, _, done, _, _, _ = s
             return (step < max_new_tokens) & (~jnp.all(done))
@@ -593,6 +613,7 @@ def generate_song_stream(
                     valid_len=jnp.where(done, 0, 1),
                     max_hi=max_hi,
                     hist_read=hist_read, hist=hist,
+                    embed_extra=extra1,
                 )
                 return (step + 1, logits[:, 0], cache, done_next, bar_out,
                         counts, rng)

@@ -93,8 +93,20 @@ def init_sharded_state(
         params = jax.tree.map(jax.device_put, params, specs)
     else:
         params = jax.device_put(params, replicated(mesh))
-    opt_state = jax.jit(tx.init)(params)
     rep = replicated(mesh)
+    # Explicit out_shardings: jax.jit(tx.init) otherwise commits fresh
+    # leaves (Adam moments, step count) to the DEFAULT device, leaving the
+    # state with a mixed device assignment — fine for the first inferred
+    # step, but checkpoint restore reproduces leaf shardings faithfully and
+    # mixed placements then fail jit's device inference. fsdp_param_sharding
+    # is a pure function of leaf shape, so the moments (which mirror the
+    # params tree) get exactly their parameter's layout; scalars replicate.
+    abstract_opt = jax.eval_shape(tx.init, params)
+    if fsdp:
+        moment_specs = fsdp_param_sharding(mesh, abstract_opt, data_axis)
+    else:
+        moment_specs = jax.tree.map(lambda _: rep, abstract_opt)
+    opt_state = jax.jit(tx.init, out_shardings=moment_specs)(params)
     return TrainState(
         params=params,
         opt_state=opt_state,

@@ -111,7 +111,26 @@ def load_checkpoint(
         "step": abstract_state.step,
         "skipped": abstract_state.skipped,
     }
-    restored = _checkpointer().restore(path, item=template)
+    # Restore each leaf onto the template's SHARDING (FSDP/mesh-sharded
+    # TrainStates resume with their layout intact instead of landing as
+    # host numpy and re-sharding on first use).
+    restore_args = jax.tree.map(
+        lambda a: ocp.ArrayRestoreArgs(
+            sharding=a.sharding, global_shape=a.shape, dtype=a.dtype
+        ) if isinstance(a, jax.Array) else ocp.RestoreArgs(),
+        template,
+    )
+    restored = _checkpointer().restore(
+        path, item=template, restore_args=restore_args
+    )
+    # Scalar/aux leaves come back as host numpy; commit every leaf to the
+    # template's sharding so the restored state is device-consistent (a
+    # mix of mesh-sharded arrays and default-device scalars fails jit).
+    restored = jax.tree.map(
+        lambda r, t: jax.device_put(r, t.sharding)
+        if isinstance(t, jax.Array) else r,
+        restored, template,
+    )
 
     meta_path = checkpoint_dir / "metadata.json"
     meta: Dict[str, Any] = {}

@@ -36,10 +36,11 @@ class InferencePipeline:
     """Audio (file or URL) → piano-cover MIDI."""
 
     def __init__(self, config: EtudeConfig, allow_random_weights: bool = False,
-                 engine_kind: str = "stream"):
+                 engine_kind: str = "stream", attrs_prior: bool = False):
         self.config = config
         self.allow_random_weights = allow_random_weights
         self.engine_kind = engine_kind
+        self.attrs_prior = attrs_prior
         self.output_dir = Path(config.paths.infer_output_dir)
         self.work_dir = self.output_dir / "temp"
         self.output_dir.mkdir(parents=True, exist_ok=True)
@@ -242,9 +243,22 @@ class InferencePipeline:
             logger.success(f"sweep MIDI files saved to {self.output_dir}")
             return
 
+        per_bar_attrs = [target_attributes] * len(all_x_bars)
+        if getattr(self, "attrs_prior", False):
+            # Per-bar bins from the trained source-conditioned predictor
+            # (scripts/train_attr_prior.py) instead of one constant combo —
+            # conditions the decoder the way its training distribution did.
+            from etude_tpu.models.attr_prior import AttrPrior
+
+            prior_path = Path(self.config.paths.checkpoints_dir) / "attr_prior"
+            per_bar_attrs = AttrPrior.load(prior_path).predict_bins(
+                all_x_bars, vocab, seed=seed
+            )
+            logger.info("per-bar attributes from the trained predictor")
+
         with self.timer.span("decode: generate", nested=True):
             bars = engine.generate(
-                params, all_x_bars, [target_attributes] * len(all_x_bars),
+                params, all_x_bars, per_bar_attrs,
                 temperature=d.temperature,
                 top_p=d.top_p,
                 max_output_tokens=d.max_output_tokens,
@@ -365,6 +379,11 @@ def main(argv=None) -> int:
                      help="override device selection (reference surface: "
                           "its cuda/mps choices map to this stack's tpu)")
     gen.add_argument("--seed", type=int, default=0)
+    gen.add_argument("--attrs-prior", action="store_true",
+                     help="per-bar attribute bins from the trained "
+                          "source-conditioned predictor "
+                          "(checkpoints/attr_prior) instead of the fixed "
+                          "--polyphony/--rhythm/--sustain combo")
     gen.add_argument("--sweep", action="store_true",
                      help="decode all 27 attribute combinations (batched)")
     gen.add_argument("--engine", choices=["stream", "rebuild"],
@@ -407,7 +426,7 @@ def main(argv=None) -> int:
 
     InferencePipeline(
         config, allow_random_weights=args.allow_random_weights,
-        engine_kind=args.engine,
+        engine_kind=args.engine, attrs_prior=args.attrs_prior,
     ).run(
         audio_source=args.input,
         target_attributes=target_attributes,

@@ -100,6 +100,15 @@ def main(argv=None) -> int:
     parser.add_argument("--out", default="/tmp/etude_distill/eval")
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--oracle-attrs", action="store_true")
+    parser.add_argument("--predicted-attrs", action="store_true",
+                        help="per-bar bins from the trained attribute "
+                             "predictor (checkpoints/attr_prior, "
+                             "scripts/train_attr_prior.py) — the default-"
+                             "serving mode without oracle access")
+    parser.add_argument("--attr-temperature", type=float, default=0.0,
+                        help="sampling temperature for --predicted-attrs "
+                             "(0 = argmax)")
+    parser.add_argument("--attr-prior-path", default=None)
     parser.add_argument("--engine", choices=["rebuild", "stream"],
                         default="rebuild")
     parser.add_argument("--kv-quant", action="store_true",
@@ -214,12 +223,26 @@ def main(argv=None) -> int:
             )
             edges = calculate_bin_edges(all_attrs) if all_attrs else None
 
+    prior = None
+    if args.predicted_attrs:
+        from etude_tpu.models.attr_prior import AttrPrior
+
+        prior_path = args.attr_prior_path or (
+            Path(__file__).resolve().parent.parent / "checkpoints" / "attr_prior"
+        )
+        prior = AttrPrior.load(prior_path)
+        logger.info(f"attribute predictor loaded from {prior_path}")
+
     rgc, ipe = RGCCalculator(top_k=8), IPECalculator(n_gram=8, n_clusters=16)
     rows = []
     for entry in prepared:
         name, tempo = entry["name"], entry["tempo"]
         bars = entry["src_bars"]
-        if args.oracle_attrs:
+        if prior is not None:
+            per_bar = prior.predict_bins(
+                bars, vocab, temperature=args.attr_temperature, seed=args.seed
+            )
+        elif args.oracle_attrs:
             per_bar = []
             for i in range(len(bars)):
                 if i < len(entry["attrs_raw"]):
@@ -275,6 +298,7 @@ def main(argv=None) -> int:
         "mean_onset_f1_vs_target": mean_of("onset_f1_vs_target"),
         "mean_notes": mean_of("n_notes"),
         "oracle_attrs": bool(args.oracle_attrs),
+        "predicted_attrs": bool(args.predicted_attrs),
         "temperature": args.temperature,
         "engine": args.engine,
     }

@@ -127,8 +127,43 @@ def run_beat(args):
     rng = np.random.default_rng(args.seed)
     T = args.beat_frames
 
+    # Optional corpus-piano scene mixing (scripts/gen_beat_scenes.py):
+    # each batch draws ~corpus_mix of its rows from the pre-rendered
+    # serving-domain scenes, the rest from procedural scenes. This keeps
+    # the multi-stem synthetic distribution (which holds the synthetic F)
+    # while teaching the solo-piano serving domain.
+    scenes = None
+    if getattr(args, "scenes_dir", None):
+        shards = sorted(Path(args.scenes_dir).glob("shard_*.npz"))
+        if shards:
+            xs, acts, tempos = [], [], []
+            for s in shards:
+                with np.load(s) as z:
+                    xs.append(z["x"].astype(np.float32))
+                    acts.append(z["activations"].astype(np.float32))
+                    tempos.append(z["tempo"])
+            scenes = {
+                "x": np.concatenate(xs),
+                "activations": np.concatenate(acts),
+                "tempo": np.concatenate(tempos).astype(np.int32),
+            }
+            logger.info(
+                f"corpus scenes: {len(scenes['x'])} windows from "
+                f"{len(shards)} shards (mix {args.corpus_mix:.2f})"
+            )
+        else:
+            logger.warn(f"no shards under {args.scenes_dir}; procedural only")
+
     def gen(_i):
-        return syn.beat_batch(rng, args.batch, T=T)
+        batch = syn.beat_batch(rng, args.batch, T=T)
+        if scenes is not None and args.corpus_mix > 0:
+            n_c = int(round(args.batch * args.corpus_mix))
+            if n_c:
+                idx = rng.integers(len(scenes["x"]), size=n_c)
+                batch["x"][:n_c] = scenes["x"][idx][:, :, :T]
+                batch["activations"][:n_c] = scenes["activations"][idx][:, :T]
+                batch["tempo"][:n_c] = scenes["tempo"][idx]
+        return batch
 
     def loss(p, batch):
         return bt.loss_fn(p, config, batch)
@@ -148,8 +183,43 @@ def run_beat(args):
     f_measure = float(np.mean(scores))
     logger.success(f"beat F-measure (held-out synthetic): {f_measure:.3f}")
 
-    stats.update({"beat_f_measure": f_measure, "corpus": "synthetic-click",
+    stats.update({"beat_f_measure": f_measure,
+                  "corpus": ("synthetic-scenes + corpus-piano-scenes"
+                             if scenes is not None else "synthetic-scenes"),
+                  "corpus_mix": args.corpus_mix if scenes is not None else 0.0,
                   "train_frames": T, "model": "BeatTransformerConfig()"})
+
+    if scenes is not None:
+        # Serving-domain eval: held-out corpus songs through the FULL chain
+        # (render → separator → forward → DBN) — the number VERDICT r3 #1
+        # tracks (was F 0.324 with the procedural-only checkpoint).
+        from etude_tpu.config.schema import BeatDetectorConfig
+        from etude_tpu.data import corpus_render as cr
+        from etude_tpu.data.beat_detector import BeatDetector
+        from etude_tpu.data.separation import SourceSeparator
+
+        sys.path.insert(0, str(REPO / "scripts"))
+        from validate_beat_corpus import validate
+
+        separator = SourceSeparator(
+            model_path=REPO / "checkpoints" / "separator" / "latest.ckpt"
+        )
+        detector = BeatDetector(BeatDetectorConfig(), params=params)
+        _, eval_dirs = cr.split_songs(cr.corpus_song_dirs())
+        summary = validate(separator, detector, eval_dirs,
+                           n_songs=len(eval_dirs),
+                           seconds=args.eval_seconds, snap_gate=0.02)
+        logger.success(f"beat F (held-out corpus, full chain): "
+                       f"{summary['mean_beat_f']} (octave-tolerant "
+                       f"{summary['mean_beat_f_octave']})")
+        stats.update({
+            "beat_f_corpus": summary["mean_beat_f"],
+            "beat_f_corpus_octave": summary["mean_beat_f_octave"],
+            "beat_f_per_song": {r["song"]: r["beat_f"]
+                                for r in summary["songs"]},
+            "eval_songs": [d.name for d in eval_dirs],
+        })
+
     out = REPO / "checkpoints" / "beat_detector" / "latest.ckpt"
     save_aux_params(out, params, metadata=stats)
     logger.success(f"saved {out}")
@@ -707,6 +777,12 @@ def main(argv=None) -> int:
                         help="per-song audio horizon for amt-corpus eval")
     parser.add_argument("--corpus-limit", type=int, default=0,
                         help="cap train/eval songs (beat-corpus smoke runs)")
+    parser.add_argument("--scenes-dir", type=str, default=None,
+                        help="beat: mix in pre-rendered corpus-piano scenes "
+                             "(scripts/gen_beat_scenes.py output)")
+    parser.add_argument("--corpus-mix", type=float, default=0.5,
+                        help="beat: fraction of each batch drawn from "
+                             "--scenes-dir")
     args = parser.parse_args(argv)
 
     defaults = {"beat": (8, 5e-4), "beat-corpus": (8, 1.5e-4),
