@@ -117,6 +117,22 @@ def _sep_fb_device():
     ))
 
 
+def pad_bucket_wave(wave: np.ndarray):
+    """Host reflect-pad + frame-count bucketing for the separation STFT.
+
+    Returns (padded [N] f32, true_frames). The reflect pad reproduces
+    torch/librosa center semantics for the true frames; zero-padding to a
+    FRAME_BUCKET multiple bounds recompiles."""
+    true_frames = 1 + len(wave) // SEP_HOP
+    from ..ops.mel import reflect_pad_host
+
+    padded = reflect_pad_host(wave, SEP_N_FFT // 2)
+    bucket_frames = int(np.ceil(true_frames / FRAME_BUCKET) * FRAME_BUCKET)
+    target_len = (bucket_frames - 1) * SEP_HOP + SEP_N_FFT
+    padded = np.pad(padded, (0, max(0, target_len - len(padded))))[:target_len]
+    return padded, true_frames
+
+
 def _separate_mel(params, config: SeparatorConfig, wave: jnp.ndarray,
                   true_frames: int):
     from ..ops.mel import dft_matrices
@@ -194,15 +210,7 @@ class SourceSeparator:
                     wave = resample_audio(wave, native_sr, SEP_SR)
             else:
                 wave, _ = decode_audio(audio_path, target_sr=SEP_SR, mono=True)
-        true_frames = 1 + len(wave) // SEP_HOP
-        # Host reflect pad first, then bucket the frame count with zeros so
-        # the true tail frames see the reflected signal (torch/librosa
-        # center semantics) and recompiles stay bounded.
-        from ..ops.mel import reflect_pad_host
-        padded = reflect_pad_host(wave, SEP_N_FFT // 2)
-        bucket_frames = int(np.ceil(true_frames / FRAME_BUCKET) * FRAME_BUCKET)
-        target_len = (bucket_frames - 1) * SEP_HOP + SEP_N_FFT
-        padded = np.pad(padded, (0, max(0, target_len - len(padded))))[:target_len]
+        padded, true_frames = pad_bucket_wave(wave)
 
         # Ship int16 when the padded wave is exactly int16 PCM / 32768 (true
         # for WAV input that was not resampled): the device rescale

@@ -293,6 +293,133 @@ def render_piano(notes: List[Dict], dur: float, sr: int = AMT_SR,
     return wave
 
 
+# ==================================================== pseudo-pop audio stems
+# Audio-domain stem renderers for separator validation on something closer
+# to a real pop mixture than the magnitude-track training scenes: corpus
+# MIDI supplies the musical content (piano / bass / melody), synthetic
+# drums ride the song's known beat grid, and a vocal-formant lead carries
+# the top line. Reference analog: the reference validates separation on
+# real pop via Spleeter/Demucs (scripts/run_separation.py:144-183); these
+# renderers are the in-repo stand-in (no real stem data ships here).
+
+
+def render_vocal(notes: List[Dict], dur: float, sr: int = 44100) -> np.ndarray:
+    """Monophonic formant-weighted lead with 5.5 Hz vibrato and soft
+    attack/release — a vocal-ish spectral envelope (bumps near 500/1600 Hz)
+    rather than the piano's geometric harmonic rolloff."""
+    wave = np.zeros(int(dur * sr) + 1, np.float32)
+    for note in notes:
+        f0 = 440.0 * 2.0 ** ((note["pitch"] - 69) / 12.0)
+        amp = 0.30 * note["velocity"] / 127.0
+        length = min(note["offset"] - note["onset"], dur - note["onset"])
+        if length <= 0.02:
+            continue
+        t = np.arange(int(length * sr)) / sr
+        vib = 1.0 + 0.006 * np.sin(2 * np.pi * 5.5 * t)
+        env = np.minimum(t / 0.04, 1.0) * np.minimum((length - t) / 0.08, 1.0)
+        env = np.clip(env, 0.0, 1.0)
+        sig = np.zeros_like(t)
+        phase = 2 * np.pi * f0 * np.cumsum(vib) / sr
+        for h in range(1, 11):
+            fh = f0 * h
+            if fh >= sr / 2:
+                break
+            formant = (np.exp(-0.5 * ((fh - 500.0) / 250.0) ** 2)
+                       + 0.7 * np.exp(-0.5 * ((fh - 1600.0) / 500.0) ** 2)
+                       + 0.08)
+            sig += formant * np.sin(phase * h)
+        i0 = int(note["onset"] * sr)
+        seg = (amp * env * sig).astype(np.float32)
+        wave[i0:i0 + len(seg)] += seg[: len(wave) - i0]
+    return wave
+
+
+def render_bass(notes: List[Dict], dur: float, sr: int = 44100) -> np.ndarray:
+    """Near-sinusoidal sustained bass (fundamental + soft 2nd/3rd harmonic,
+    mild tanh saturation) — spectrally disjoint from the piano stem."""
+    wave = np.zeros(int(dur * sr) + 1, np.float32)
+    for note in notes:
+        f0 = 440.0 * 2.0 ** ((note["pitch"] - 69) / 12.0)
+        amp = 0.35 * note["velocity"] / 127.0
+        length = min(note["offset"] - note["onset"], dur - note["onset"])
+        if length <= 0.02:
+            continue
+        t = np.arange(int(length * sr)) / sr
+        env = np.minimum(t / 0.01, 1.0) * np.exp(-t / max(length, 0.3))
+        sig = (np.sin(2 * np.pi * f0 * t)
+               + 0.35 * np.sin(2 * np.pi * 2 * f0 * t)
+               + 0.15 * np.sin(2 * np.pi * 3 * f0 * t))
+        sig = np.tanh(1.5 * sig)
+        i0 = int(note["onset"] * sr)
+        seg = (amp * env * sig).astype(np.float32)
+        wave[i0:i0 + len(seg)] += seg[: len(wave) - i0]
+    return wave
+
+
+def render_pad(notes: List[Dict], dur: float, sr: int = 44100) -> np.ndarray:
+    """Slow-attack sustained chord pad (1/h harmonic weights) — the
+    'guitar' slot's sustained mid-register texture."""
+    wave = np.zeros(int(dur * sr) + 1, np.float32)
+    for note in notes:
+        f0 = 440.0 * 2.0 ** ((note["pitch"] - 69) / 12.0)
+        amp = 0.16 * note["velocity"] / 127.0
+        length = min(note["offset"] - note["onset"], dur - note["onset"])
+        if length <= 0.05:
+            continue
+        t = np.arange(int(length * sr)) / sr
+        env = np.minimum(t / 0.12, 1.0) * np.clip(
+            (length - t) / 0.15, 0.0, 1.0)
+        sig = np.zeros_like(t)
+        for h in range(1, 9):
+            fh = f0 * h
+            if fh >= sr / 2:
+                break
+            sig += (1.0 / h) * np.sin(2 * np.pi * fh * t)
+        i0 = int(note["onset"] * sr)
+        seg = (amp * env * sig).astype(np.float32)
+        wave[i0:i0 + len(seg)] += seg[: len(wave) - i0]
+    return wave
+
+
+def render_drums(beat_times: np.ndarray, down_times: np.ndarray, dur: float,
+                 sr: int = 44100, seed: int = 0) -> np.ndarray:
+    """Kick on beats (pitch-swept sine), snare off-downbeat beats
+    (band-shaped noise), closed hats on 8ths (short high noise)."""
+    rng = np.random.default_rng(seed)
+    wave = np.zeros(int(dur * sr) + 1, np.float32)
+    downs = set(np.round(np.asarray(down_times, float), 3))
+
+    def add(t0: float, seg: np.ndarray) -> None:
+        i0 = int(t0 * sr)
+        if 0 <= i0 < len(wave):
+            wave[i0:i0 + len(seg)] += seg[: len(wave) - i0]
+
+    beats = np.asarray(beat_times, float)
+    for i, b in enumerate(beats):
+        # Kick: 120→45 Hz sweep over 120 ms.
+        t = np.arange(int(0.12 * sr)) / sr
+        f_inst = 45.0 + 75.0 * np.exp(-t / 0.03)
+        kick = 0.8 * np.exp(-t / 0.05) * np.sin(
+            2 * np.pi * np.cumsum(f_inst) / sr)
+        add(b, kick.astype(np.float32))
+        # Snare on non-downbeat alternating beats.
+        if round(b, 3) not in downs and i % 2 == 1:
+            t = np.arange(int(0.09 * sr)) / sr
+            noise = rng.standard_normal(len(t)).astype(np.float32)
+            noise = np.diff(noise, prepend=0.0)       # high-pass tilt
+            noise = np.convolve(noise, np.ones(8) / 8, mode="same")  # band
+            body = 0.3 * np.exp(-t / 0.012) * np.sin(2 * np.pi * 190.0 * t)
+            add(b, (0.5 * np.exp(-t / 0.03) * noise + body).astype(np.float32))
+        # Hats on this beat and the following 8th.
+        step = (beats[i + 1] - b) / 2 if i + 1 < len(beats) else 0.25
+        for ht in (b, b + step):
+            t = np.arange(int(0.03 * sr)) / sr
+            noise = rng.standard_normal(len(t)).astype(np.float32)
+            noise = np.diff(np.diff(noise, prepend=0.0), prepend=0.0)
+            add(ht, (0.12 * np.exp(-t / 0.008) * noise).astype(np.float32))
+    return wave
+
+
 def amt_targets(
     notes: List[Dict],
     T: int,

@@ -249,6 +249,35 @@ def _transpose_notes(notes, shift: int):
     ]
 
 
+def _phase_shift_tempo(tempo, k_beats: int):
+    """Grid variant with every downbeat moved LATER by k beats: identical
+    beat times, different bar segmentation — the music re-windowed. Exact
+    by construction (the grid's beat phase is unchanged)."""
+    out = []
+    for r in tempo:
+        beat = 60.0 / r["bpm"]
+        out.append(dict(r, downbeats=[d + k_beats * beat
+                                      for d in r["downbeats"]]))
+    return out
+
+
+def _double_time_tempo(tempo):
+    """Grid variant at double tempo: every bar splits in two (old downbeats
+    + bar midpoints), grid slots land on the SAME absolute times at twice
+    the resolution. Teaches the decoder the half/double-time labelings the
+    serving beat tracker legitimately produces."""
+    out = []
+    for r in tempo:
+        beat = 60.0 / r["bpm"]
+        downs = []
+        dbs = list(r["downbeats"])
+        for i, d in enumerate(dbs):
+            nxt = dbs[i + 1] if i + 1 < len(dbs) else d + r["time_sig"] * beat
+            downs.extend([d, (d + nxt) / 2.0])
+        out.append(dict(r, bpm=r["bpm"] * 2.0, downbeats=downs))
+    return out
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--corpus", default="/root/reference/docs/songs")
@@ -262,6 +291,17 @@ def main(argv=None) -> int:
         help="also emit copies of every pair transposed by ±1..±K semitones "
         "(src and tgt shifted together; timing/attributes are pitch-"
         "invariant, so the augmented pairs are exact)",
+    )
+    parser.add_argument(
+        "--phase-shifts", type=int, default=0, metavar="P",
+        help="also emit copies re-barred with downbeats shifted by 1..P "
+        "beats (same beat grid, different bar windows — exact)",
+    )
+    parser.add_argument(
+        "--double-time", action="store_true",
+        help="also emit copies encoded on the double-tempo grid (same "
+        "absolute slot times at 2x resolution — exact; matches the beat "
+        "tracker's legitimate octave ambiguity at serving)",
     )
     args = parser.parse_args(argv)
 
@@ -338,21 +378,28 @@ def main(argv=None) -> int:
             for s in range(1, args.transpose + 1)
             for sign in (1, -1)
         ]
-        for shift in shifts:
-            src_k = _transpose_notes(src_notes, shift)
-            tgt_k = _transpose_notes(tgt_notes, shift)
-            if len(src_k) < 32 or len(tgt_k) < 32:
-                continue
-            src_events = TinyREMITokenizer(tempo_data=tempo).encode(
-                src_k, with_grace_note=True
-            )
-            tgt_events = TinyREMITokenizer(tempo_data=tempo).encode(
-                tgt_k, with_grace_note=True
-            )
-            if src_events and tgt_events:
-                all_src.append(src_events)
-                all_tgt.append(tgt_events)
-                names.append(name if shift == 0 else f"{name}_t{shift:+d}")
+        grid_variants = [("", tempo)]
+        grid_variants += [(f"_p{k}", _phase_shift_tempo(tempo, k))
+                          for k in range(1, args.phase_shifts + 1)]
+        if args.double_time:
+            grid_variants.append(("_x2", _double_time_tempo(tempo)))
+        for vtag, vtempo in grid_variants:
+            for shift in shifts:
+                src_k = _transpose_notes(src_notes, shift)
+                tgt_k = _transpose_notes(tgt_notes, shift)
+                if len(src_k) < 32 or len(tgt_k) < 32:
+                    continue
+                src_events = TinyREMITokenizer(tempo_data=vtempo).encode(
+                    src_k, with_grace_note=True
+                )
+                tgt_events = TinyREMITokenizer(tempo_data=vtempo).encode(
+                    tgt_k, with_grace_note=True
+                )
+                if src_events and tgt_events:
+                    all_src.append(src_events)
+                    all_tgt.append(tgt_events)
+                    tag = ("" if shift == 0 else f"_t{shift:+d}") + vtag
+                    names.append(name + tag)
     logger.info(
         f"tokenized {len(names)} song pairs "
         f"(grids: {dict(grid_stats)})"

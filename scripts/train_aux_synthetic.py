@@ -168,7 +168,10 @@ def run_beat(args):
     def loss(p, batch):
         return bt.loss_fn(p, config, batch)
 
-    params, stats = train_loop("beat", params, loss, gen, args.steps, args.lr)
+    # Host scene synthesis dominates the step at workers=1 (measured r4:
+    # 3.4 s/step); stripe it like the separator loop does.
+    params, stats = train_loop("beat", params, loss, gen, args.steps, args.lr,
+                               workers=3)
 
     # Held-out eval: sigmoid activations → DBN tracker → F-measure.
     eval_rng = np.random.default_rng(args.seed + 10_000)
