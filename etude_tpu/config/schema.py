@@ -253,6 +253,10 @@ class TrainConfig(BaseModel):
     # instead of the teacher bars. Opt-in so generating rollout files never
     # silently changes a plain training run.
     dagger_history: bool = False
+    # Sample-level attribute dropout (see data/dataset.py): probability of
+    # replacing a chunk's attribute bins with the neutral bin 1, matching
+    # default serving's constant-neutral conditioning.
+    attr_dropout: float = 0.0
     # Warm-start params from a checkpoint's model dir (fresh optimizer /
     # schedule — unlike resume_from_checkpoint which restores both).
     init_from: Optional[Path] = None

@@ -187,6 +187,7 @@ class EtudeDataset:
         data_format: str = "npy",
         num_attribute_bins: int = 3,
         context_num_past_xy_pairs: int = 4,
+        attr_dropout: float = 0.0,
     ):
         self.dataset_dir = Path(dataset_dir)
         self.vocab = vocab
@@ -204,6 +205,15 @@ class EtudeDataset:
         self.data_format = data_format
         self.num_attribute_bins = num_attribute_bins
         self.context_pairs = context_num_past_xy_pairs
+        # Sample-level attribute dropout: with this probability a training
+        # chunk's four bin-ID streams are all replaced by the neutral bin 1
+        # (the same value empty-history bars use). Default serving passes
+        # constant neutral bins for every bar (no oracle access), so
+        # dropout-trained models see that exact conditioning during
+        # training instead of only oracle bins — closing the default-mode
+        # train/serve mismatch (free-running onset match 0.439 constant vs
+        # 0.857 oracle, VERDICT r3 #3).
+        self.attr_dropout = float(attr_dropout)
 
         self.pad_id = vocab.pad_id
         self.bar_bos_id = vocab.bar_bos_id
@@ -406,15 +416,28 @@ class EtudeDataset:
         order = np.arange(len(self.sample_map))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        drop_rng = np.random.default_rng(seed + 1)
+
+        def maybe_drop_attrs(item):
+            if self.attr_dropout <= 0.0 or not item["input_ids"]:
+                return item
+            if drop_rng.random() >= self.attr_dropout:
+                return item
+            n = len(item["input_ids"])
+            for key in item:
+                if key.endswith("_bin_ids"):
+                    item[key] = [1] * n
+            return item
+
         for i in range(0, len(order), batch_size):
             idx = order[i:i + batch_size]
             if len(idx) < batch_size:
                 if drop_last:
                     return
                 pad_rows = batch_size - len(idx)
-                items = [self[j] for j in idx] + [
+                items = [maybe_drop_attrs(self[j]) for j in idx] + [
                     {k: [] for k in self[0].keys()} for _ in range(pad_rows)
                 ]
                 yield self.collate(items)
                 return
-            yield self.collate([self[j] for j in idx])
+            yield self.collate([maybe_drop_attrs(self[j]) for j in idx])

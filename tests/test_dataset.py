@@ -151,6 +151,68 @@ def test_dataset_batches_fixed_shape(tmp_path, vocab):
     assert np.all(b0["labels"][b0["attention_mask"] == 0] == LABEL_IGNORE_ID)
 
 
+def _write_varied_song(tmp_path, vocab, name, n_bars=8):
+    """Target density/duration varies per bar so attribute bins span 0..2."""
+    d = tmp_path / name
+    d.mkdir(parents=True)
+    src_ids, tgt_ids = [], []
+    for i in range(n_bars):
+        src_ids += _bar(vocab, [(0, 60 + i, 4), (16, 64, 2)])
+        tgt_notes = [(0, 60 + i, 1 + 4 * (i % 3))]
+        tgt_notes += [(8 * k, 50 + 3 * k + i, 2) for k in range(1, 1 + i % 4)]
+        tgt_ids += _bar(vocab, tgt_notes)
+    np.save(d / f"{name}_src.npy", np.asarray(src_ids, np.int32))
+    np.save(d / f"{name}_tgt.npy", np.asarray(tgt_ids, np.int32))
+
+
+def test_dataset_attr_dropout(tmp_path, vocab):
+    for i in range(2):
+        _write_varied_song(tmp_path, vocab, f"{i:04d}")
+    bin_keys = ["polyphony_bin_ids", "rhythm_intensity_bin_ids",
+                "sustain_bin_ids", "pitch_overlap_bin_ids"]
+
+    # dropout=1.0: every valid position carries the neutral bin 1.
+    ds = EtudeDataset(tmp_path, vocab, max_seq_len=128, attr_dropout=1.0)
+    for batch in ds.batches(batch_size=4, shuffle=True, seed=0,
+                            drop_last=False):
+        mask = batch["attention_mask"] == 1
+        for key in bin_keys:
+            assert np.all(batch[key][mask] == 1)
+
+    # dropout=0.0 must keep the oracle bins bit-identical.
+    ds0 = EtudeDataset(tmp_path, vocab, max_seq_len=128, attr_dropout=0.0)
+    ref = EtudeDataset(tmp_path, vocab, max_seq_len=128)
+    for got, want in zip(
+        ds0.batches(batch_size=4, shuffle=True, seed=0, drop_last=False),
+        ref.batches(batch_size=4, shuffle=True, seed=0, drop_last=False),
+    ):
+        for key in bin_keys:
+            np.testing.assert_array_equal(got[key], want[key])
+
+    # Intermediate dropout affects some chunks, not all (seeded).
+    ds_half = EtudeDataset(tmp_path, vocab, max_seq_len=128, attr_dropout=0.5)
+    dropped, kept = 0, 0
+    for got, want in zip(
+        ds_half.batches(batch_size=4, shuffle=True, seed=0, drop_last=False),
+        ref.batches(batch_size=4, shuffle=True, seed=0, drop_last=False),
+    ):
+        mask = got["attention_mask"] == 1
+        for b in range(mask.shape[0]):
+            row = mask[b]
+            if not row.any():
+                continue
+            same = all(
+                np.array_equal(got[k][b][row], want[k][b][row])
+                for k in bin_keys
+            )
+            neutral = all(np.all(got[k][b][row] == 1) for k in bin_keys)
+            if neutral and not same:
+                dropped += 1
+            elif same:
+                kept += 1
+    assert dropped > 0 and kept > 0
+
+
 def test_split_ids_closes_open_bar(vocab):
     BOS, EOS = vocab.bar_bos_id, vocab.bar_eos_id
     n = vocab.encode("Note_60")

@@ -86,7 +86,11 @@ def main(argv=None) -> int:
         data_format=tc.data_format,
         num_attribute_bins=cfg.decoder.num_attribute_bins,
         context_num_past_xy_pairs=cfg.decoder.context_num_past_xy_pairs,
+        attr_dropout=tc.attr_dropout,
     )
+    if tc.attr_dropout > 0:
+        logger.info(f"attribute dropout: {tc.attr_dropout:.2f} "
+                    "(neutral-bin conditioning for default serving)")
     if tc.dagger_history:
         n_hist = sum(
             1 for s in dataset.songs
