@@ -240,7 +240,9 @@ class TrainConfig(BaseModel):
     adam_beta1: float = 0.9
     adam_beta2: float = 0.98
     num_epochs: int = 200
-    warmup_epochs: int = 10
+    # Fractional values are allowed (warmup_steps = steps_per_epoch * this);
+    # useful for short warm-start fine-tunes on large datasets.
+    warmup_epochs: float = 10
     gradient_accumulation_steps: int = 4
     clip_grad_norm: float = 1.0
     scheduler: str = "cosine_with_warmup"

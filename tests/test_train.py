@@ -190,3 +190,46 @@ def test_checkpoint_recovery_from_interrupted_save(tiny_config, tmp_path):
     restored, meta = load_checkpoint(tmp_path, init_train_state(params, tx))
     assert int(restored.step) == 0
     assert (tmp_path / "latest").exists()
+
+
+def test_remap_decoder_vocab():
+    """Checkpoint vocab surgery: rows/columns follow token strings; new
+    tokens borrow the nearest same-type neighbour's weights."""
+    from etude_tpu.data.vocab import Vocab
+    from etude_tpu.utils.model_loader import remap_decoder_vocab
+
+    old_vocab, new_vocab = Vocab(), Vocab()
+    for tok in ["Bar_BOS", "Bar_EOS", "Note_60", "Note_62", "Duration_4"]:
+        old_vocab.add(tok)
+    # Rebuilt vocab: shuffled order + one unseen token.
+    for tok in ["Bar_BOS", "Bar_EOS", "Duration_4", "Note_60", "Note_61",
+                "Note_62"]:
+        new_vocab.add(tok)
+
+    rng = np.random.default_rng(0)
+    V_old, H = len(old_vocab), 8
+    params = {
+        "word_emb": rng.normal(size=(V_old, H)).astype(np.float32),
+        "lm_head": rng.normal(size=(H, V_old)).astype(np.float32),
+        "final_ln": {"scale": np.ones(H, np.float32)},
+    }
+    out = remap_decoder_vocab(params, old_vocab, new_vocab)
+    assert out["word_emb"].shape == (len(new_vocab), H)
+    assert out["lm_head"].shape == (H, len(new_vocab))
+    for tok in ["Bar_BOS", "Note_60", "Note_62", "Duration_4"]:
+        o, n = old_vocab.token_to_id[tok], new_vocab.token_to_id[tok]
+        np.testing.assert_array_equal(out["word_emb"][n],
+                                      params["word_emb"][o])
+        np.testing.assert_array_equal(out["lm_head"][:, n],
+                                      params["lm_head"][:, o])
+    # Note_61 borrows a neighbour (Note_60 or Note_62, both distance 1).
+    n61 = new_vocab.token_to_id["Note_61"]
+    neighbours = [old_vocab.token_to_id["Note_60"],
+                  old_vocab.token_to_id["Note_62"]]
+    assert any(
+        np.array_equal(out["word_emb"][n61], params["word_emb"][o])
+        for o in neighbours
+    )
+    # Untouched leaves pass through.
+    np.testing.assert_array_equal(out["final_ln"]["scale"],
+                                  params["final_ln"]["scale"])

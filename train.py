@@ -122,7 +122,7 @@ def main(argv=None) -> int:
     global_batch = tc.batch_size * accum
     steps_per_epoch = max(len(dataset) // global_batch, 1)
     total_steps = steps_per_epoch * tc.num_epochs
-    warmup_steps = steps_per_epoch * tc.warmup_epochs
+    warmup_steps = int(steps_per_epoch * tc.warmup_epochs)
 
     tx, schedule = make_optimizer(
         learning_rate=tc.learning_rate,
