@@ -162,3 +162,57 @@ def dtw_band_native(
         codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return codes, float(final)
+
+
+def load_resample_library() -> Optional[ctypes.CDLL]:
+    """The polyphase-resample shared library, or None when unavailable."""
+    if "resample" in _LIB_CACHE:
+        return _LIB_CACHE["resample"]
+    lib_path = _build_library("resample_fir.cc")
+    lib = None
+    if lib_path is not None:
+        try:
+            lib = ctypes.CDLL(str(lib_path))
+            lib.upfirdn_poly_f32.restype = None
+            lib.upfirdn_poly_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_float),   # hp_rev [up, K]
+                ctypes.c_int64, ctypes.c_int64,   # up, K
+                ctypes.POINTER(ctypes.c_float),   # x [Lx]
+                ctypes.c_int64, ctypes.c_int64,   # Lx, down
+                ctypes.c_int64, ctypes.c_int64,   # n_start, n_out
+                ctypes.POINTER(ctypes.c_float),   # y [n_out]
+                ctypes.c_int64,                   # n_threads
+            ]
+        except OSError as exc:
+            logger.warn(f"failed to load native resample library: {exc}")
+            lib = None
+    _LIB_CACHE["resample"] = lib
+    return lib
+
+
+def upfirdn_poly_native(
+    hp_rev: np.ndarray,   # [up, K] f32 k-reversed polyphase filter
+    x: np.ndarray,        # [Lx] f32 signal
+    down: int,
+    n_start: int,
+    n_out: int,
+    n_threads: int = 4,
+) -> np.ndarray:
+    """Polyphase upfirdn outputs n in [n_start, n_start + n_out)."""
+    lib = load_resample_library()
+    if lib is None:
+        raise RuntimeError("native resample library unavailable")
+    hp_rev = np.ascontiguousarray(hp_rev, np.float32)
+    x = np.ascontiguousarray(x, np.float32)
+    up, K = hp_rev.shape
+    y = np.empty(n_out, np.float32)
+    lib.upfirdn_poly_f32(
+        hp_rev.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        up, K,
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        x.shape[0], down,
+        n_start, n_out,
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads,
+    )
+    return y

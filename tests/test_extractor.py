@@ -112,3 +112,32 @@ def test_load_wav_resample(tmp_path):
     out, out_sr = load_wav(path, target_sr=16000)
     assert out_sr == 16000
     assert abs(len(out) - 16000) <= 2
+
+
+def test_native_resample_matches_scipy():
+    # The native polyphase kernel (native/resample_fir.cc) must be
+    # numerically the scipy resample_poly path it replaces on the serving
+    # critical path — same Kaiser-sinc taps, same output framing.
+    from scipy.signal import resample_poly
+
+    from etude_tpu.native import load_resample_library
+    from etude_tpu.utils.audio import resample_audio
+
+    if load_resample_library() is None:
+        import pytest
+
+        pytest.skip("native resample build unavailable")
+    rng = np.random.default_rng(1)
+    for n, (orig, tgt) in [
+        (44100 * 3 + 7, (44100, 16000)),   # serving extract leg
+        (44100 * 2, (44100, 22050)),       # serving volume leg
+        (500, (44100, 16000)),             # shorter than the filter
+        (22050, (22050, 16000)),
+    ]:
+        x = rng.standard_normal(n).astype(np.float32)
+        got = resample_audio(x, orig, tgt)
+        g = np.gcd(orig, tgt)
+        want = resample_poly(x, tgt // g, orig // g).astype(np.float32)
+        assert got.shape == want.shape, (orig, tgt)
+        scale = max(float(np.max(np.abs(want))), 1e-9)
+        assert float(np.max(np.abs(got - want))) / scale < 1e-5, (orig, tgt)
