@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Sampling-config sweep for the serving default (VERDICT r3 #2).
+
+The round-3 full-corpus eval ran greedy (temperature 0.0) and landed IPE
+8.37 vs the Human 10.13 / etude_d 9.11 band — our covers are more
+rhythmically repetitive than every reference system except PiCoGen, while
+RGC already sits at the Human value (0.0452 vs 0.0421). The knob the
+reference itself ships for this is sampling (its generation defaults,
+etude/config/schema.py:222-226: do_sample with temperature/top-p); this
+script maps the RGC/IPE frontier over (temperature, top_p) so a default
+serving config can be chosen on data.
+
+Method: per song, run the REAL audio pipeline's stage 1+2 ONCE (render
+human.mid -> hFT extract -> separation/beat grid -> tempo.json), tokenize
+the condition once, then for every sampling config decode ALL songs in one
+batched streaming-engine program (generate_batch is ragged-safe), and score
+RGC/IPE of the decoded covers. Stage 1+2 outputs are cached on disk across
+invocations, so refining the grid later costs decode time only.
+
+Usage:
+  python scripts/sweep_sampling.py [--songs 10] [--seconds 180]
+      [--temps 0 0.5 0.7 0.9] [--top-ps 0.9 0.95] [--seeds 2]
+"""
+
+from __future__ import annotations
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+CORPUS = Path("/root/reference/docs/songs")
+
+
+def stage_songs(songs, seconds: float, cache: Path):
+    """Render + stage1/2 each song once; return per-song work dirs."""
+    from etude_tpu.config import load_config
+    from etude_tpu.data.synthetic import render_piano
+    from etude_tpu.utils.audio import save_wav
+    from etude_tpu.utils.logger import logger
+    from etude_tpu.utils.midi import read_midi_notes
+    from infer import InferencePipeline
+
+    dirs = {}
+    for song in songs:
+        work = cache / song
+        out = work / "out"
+        need = [work / "work" / n
+                for n in ("extract.json", "tempo.json", "volume.json")]
+        if all(p.exists() for p in need):
+            dirs[song] = work / "work"
+            continue
+        work.mkdir(parents=True, exist_ok=True)
+        notes = [n for n in read_midi_notes(CORPUS / song / "human.mid")
+                 if n["onset"] < seconds - 2]
+        wav = work / "song.wav"
+        save_wav(wav, render_piano(notes, seconds, sr=44100), 44100)
+        cfg = load_config(None, overrides={
+            "paths": {"infer_output_dir": str(out)},
+        })
+        pipeline = InferencePipeline(cfg)
+        # Point the pipeline's intermediates at a per-song dir we keep.
+        pipeline.work_dir = work / "work"
+        pipeline.work_dir.mkdir(parents=True, exist_ok=True)
+        audio = pipeline._prepare_audio(str(wav))
+        from etude_tpu.utils.audio import decode_audio
+
+        wave_sr = decode_audio(audio, target_sr=None, mono=True)
+        pipeline._run_stage1_extract(audio, wave_sr)
+        pipeline._run_stage2_structuralize(audio, wave_sr)
+        dirs[song] = pipeline.work_dir
+        logger.info(f"staged {song}")
+    return dirs
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--songs", type=int, default=10)
+    parser.add_argument("--seconds", type=float, default=180.0)
+    parser.add_argument("--temps", type=float, nargs="+",
+                        default=[0.0, 0.5, 0.7, 0.9])
+    parser.add_argument("--top-ps", type=float, nargs="+", default=[0.9])
+    parser.add_argument("--seeds", type=int, default=1)
+    parser.add_argument("--cache", default="/tmp/etude_sweep_cache")
+    parser.add_argument("--out", default=str(REPO / "validation" /
+                                             "sampling_sweep.json"))
+    parser.add_argument("--attrs-prior", action="store_true",
+                        help="per-bar attributes from the trained predictor "
+                             "instead of the constant neutral combo")
+    args = parser.parse_args(argv)
+
+    from etude_tpu.config import load_config
+    from etude_tpu.data.tokenizer import (
+        TinyREMITokenizer,
+        split_sequence_into_bars,
+    )
+    from etude_tpu.data.vocab import Vocab
+    from etude_tpu.evaluation.metrics import IPECalculator, RGCCalculator
+    from etude_tpu.models.generate_stream import StreamingGenerationEngine
+    from etude_tpu.utils.logger import logger
+    from etude_tpu.utils.model_loader import load_etude_decoder
+
+    songs = sorted(
+        d.name for d in CORPUS.iterdir()
+        if d.is_dir() and (d / "human.mid").exists()
+    )[: args.songs]
+    cache = Path(args.cache)
+    dirs = stage_songs(songs, args.seconds, cache)
+
+    cfg = load_config(None)
+    vocab = Vocab.load(cfg.paths.decoder_vocab)
+    params, model_config = load_etude_decoder(
+        cfg.paths.decoder_config, cfg.paths.decoder_model
+    )
+    d = cfg.decoder
+    engine = StreamingGenerationEngine(
+        model_config,
+        bar_bos_id=vocab.bar_bos_id,
+        bar_eos_id=vocab.bar_eos_id,
+        pad_id=vocab.pad_id,
+        max_bar_token_limit=d.max_bar_token_limit,
+    )
+
+    neutral = {"polyphony_bin": 1, "rhythm_intensity_bin": 1,
+               "sustain_bin": 1, "pitch_overlap_bin": 2}
+    conditions, tokenizers, per_bar_attrs = {}, {}, {}
+    prior = None
+    if args.attrs_prior:
+        from etude_tpu.models.attr_prior import AttrPrior
+
+        prior = AttrPrior.load(REPO / "checkpoints" / "attr_prior")
+    for song in songs:
+        work = dirs[song]
+        tok = TinyREMITokenizer(tempo_path=work / "tempo.json")
+        ids = vocab.encode_sequence(tok.encode(work / "extract.json"))
+        bars = split_sequence_into_bars(ids, vocab.bar_bos_id, vocab.bar_eos_id)
+        conditions[song] = bars
+        tokenizers[song] = (tok, work / "volume.json")
+        per_bar_attrs[song] = (
+            prior.predict_bins(bars, vocab, seed=0) if prior
+            else [neutral] * len(bars)
+        )
+
+    rgc = RGCCalculator(top_k=8)
+    ipe = IPECalculator(n_gram=8, n_clusters=16)
+    ref_stats = {}
+    for v in ("human", "etude_d"):
+        r = [rgc.calculate(CORPUS / s / f"{v}.mid").get("rgc_score")
+             for s in songs if (CORPUS / s / f"{v}.mid").exists()]
+        i = [ipe.calculate(CORPUS / s / f"{v}.mid").get("ipe_score")
+             for s in songs if (CORPUS / s / f"{v}.mid").exists()]
+        ref_stats[v] = {
+            "rgc": round(float(np.mean([x for x in r if x is not None])), 4),
+            "ipe": round(float(np.mean([x for x in i if x is not None])), 3),
+        }
+
+    results = []
+    for temp in args.temps:
+        for top_p in args.top_ps:
+            per_seed = []
+            for seed in range(args.seeds):
+                t0 = time.perf_counter()
+                streams = engine.generate_batch(
+                    params,
+                    [conditions[s] for s in songs],
+                    [per_bar_attrs[s] for s in songs],
+                    temperature=temp, top_p=top_p,
+                    max_output_tokens=d.max_output_tokens,
+                    seed=seed,
+                )
+                wall = time.perf_counter() - t0
+                rgcs, ipes = [], []
+                for song, bars in zip(songs, streams):
+                    events = [e for bar in bars
+                              for e in vocab.decode_sequence_to_events(bar)]
+                    tok, volume = tokenizers[song]
+                    notes = tok.decode_to_notes(events, volume)
+                    mid = cache / song / f"T{temp}_p{top_p}_s{seed}.mid"
+                    TinyREMITokenizer.note_to_midi(notes, mid)
+                    r = rgc.calculate(mid).get("rgc_score")
+                    i = ipe.calculate(mid).get("ipe_score")
+                    if r is not None:
+                        rgcs.append(r)
+                    if i is not None:
+                        ipes.append(i)
+                per_seed.append({
+                    "rgc": round(float(np.mean(rgcs)), 4) if rgcs else None,
+                    "ipe": round(float(np.mean(ipes)), 3) if ipes else None,
+                    "wall_s": round(wall, 1),
+                })
+            row = {
+                "temperature": temp, "top_p": top_p,
+                "rgc": round(float(np.mean(
+                    [s["rgc"] for s in per_seed if s["rgc"] is not None])), 4),
+                "ipe": round(float(np.mean(
+                    [s["ipe"] for s in per_seed if s["ipe"] is not None])), 3),
+                "seeds": per_seed,
+            }
+            results.append(row)
+            logger.success(
+                f"T={temp} top_p={top_p}: RGC {row['rgc']} IPE {row['ipe']} "
+                f"(human RGC {ref_stats['human']['rgc']} "
+                f"IPE {ref_stats['human']['ipe']})"
+            )
+
+    payload = {
+        "songs": songs, "seconds": args.seconds,
+        "attrs": "prior" if args.attrs_prior else "neutral",
+        "refs": ref_stats, "results": results,
+    }
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    with open(args.out, "w", encoding="utf-8") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps(payload["results"]))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
