@@ -17,9 +17,10 @@ over (B·H) flattened query heads, and each grid point computes
     p       = softmax(s/sqrt(D) + bias)  (VPU, in VMEM)
     o[1, D] = p[1, C] · V[D, C]ᵀ         (MXU matvec, contracting C)
 
-Block shapes keep C in the lane dimension (the cache's native
-[.., D, C] layout — models/generate_stream.py init_stream_cache), so the
-stream is dense in the long axis.
+Block shapes keep C in the lane dimension (matching the stream cache's
+slot-minor layout — models/generate_stream.py init_stream_cache, since
+round 4 a fused [.., 2D, C] K+V buffer), so the stream is dense in the
+long axis.
 """
 
 from __future__ import annotations
