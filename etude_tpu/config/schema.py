@@ -143,6 +143,10 @@ class BeatDetectorConfig(BaseModel):
     fps_divisor: int = 1024
     threshold: float = 0.2
     beats_per_bar: List[int] = Field(default=[3, 4])
+    # Tempo-octave disambiguation pass over the DBN output
+    # (ops/beat_octave.py): re-scores half/double-time candidates against
+    # the activation curve. Off by default until corpus-validated.
+    octave_disambiguation: bool = False
     model: BeatDetectorModelConfig = Field(default_factory=BeatDetectorModelConfig)
 
 

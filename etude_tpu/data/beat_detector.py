@@ -145,6 +145,17 @@ class BeatDetector:
 
         with maybe_span(timer, "beat: DBN decode"):
             beats = self.beat_tracker(beat_act)
+            if self.config.octave_disambiguation:
+                from ..ops.beat_octave import disambiguate_octave
+
+                beats, applied = disambiguate_octave(
+                    np.asarray(beats, float), beat_act,
+                    fps=44100 / self.config.fps_divisor,
+                    min_bpm=self.config.min_bpm,
+                    max_bpm=self.config.max_bpm,
+                )
+                if applied:
+                    logger.debug(f"beat octave corrected: {applied}")
             combined = np.stack(
                 [np.maximum(beat_act - down_act, 0.0), down_act], axis=-1
             )
