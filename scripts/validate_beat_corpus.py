@@ -140,6 +140,9 @@ def main(argv=None) -> int:
     parser.add_argument("--no-separator", action="store_true",
                         help="ablation: tile the raw mix's mel into every "
                              "stem slot instead of separating")
+    parser.add_argument("--octave-disambiguation", action="store_true",
+                        help="enable the DBN tempo-octave correction pass "
+                             "(ops/beat_octave.py)")
     args = parser.parse_args(argv)
 
     from etude_tpu.config.schema import BeatDetectorConfig
@@ -151,7 +154,7 @@ def main(argv=None) -> int:
         bypass=args.no_separator,
     )
     detector = BeatDetector(
-        BeatDetectorConfig(),
+        BeatDetectorConfig(octave_disambiguation=args.octave_disambiguation),
         model_path=REPO / "checkpoints" / "beat_detector" / "latest.ckpt",
     )
 
