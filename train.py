@@ -59,6 +59,13 @@ def main(argv=None) -> int:
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--max-steps", type=int, default=None,
                         help="hard step cap (smoke runs)")
+    parser.add_argument("--save-every-steps", type=int, default=None,
+                        help="also checkpoint `latest` every N optimizer "
+                             "steps (intra-epoch crash/stall resilience; "
+                             "resume restarts the interrupted epoch but "
+                             "state.step and the LR schedule carry over — "
+                             "pair with --max-steps to stop at the planned "
+                             "total)")
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -198,6 +205,14 @@ def main(argv=None) -> int:
             state, metrics = train_step(state, batch)
             losses.append(metrics["loss"])
             host_step += 1
+            if args.save_every_steps and host_step % args.save_every_steps == 0:
+                # Mid-epoch safety checkpoint (syncs the device once).
+                save_checkpoint(
+                    ckpt_dir, state, epoch=epoch, global_step=host_step,
+                    model_config=model_config,
+                )
+                logger.info(f"  step {host_step}: checkpointed "
+                            f"(loss {float(losses[-1]):.4f})")
             if args.max_steps and host_step >= args.max_steps:
                 done = True
                 break
