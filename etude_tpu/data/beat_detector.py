@@ -144,6 +144,7 @@ class BeatDetector:
         beat_act, down_act = act[:, 0], act[:, 1]
 
         with maybe_span(timer, "beat: DBN decode"):
+            applied = None
             beats = self.beat_tracker(beat_act)
             if self.config.octave_disambiguation:
                 from ..ops.beat_octave import disambiguate_octave
@@ -164,6 +165,16 @@ class BeatDetector:
             downbeat_events[downbeat_events[:, 1] == 1][:, 0]
             if downbeat_events.size else np.empty(0)
         )
+        if applied and len(downbeats) and len(beats):
+            # The downbeat tracker decoded the ORIGINAL activations; after
+            # an octave correction its grid can disagree with the corrected
+            # beats by a tempo octave. Snap each downbeat to the nearest
+            # corrected beat so downbeats stay a subset of the beat grid.
+            beats_arr = np.asarray(beats, float)
+            idx = np.abs(
+                beats_arr[None, :] - np.asarray(downbeats, float)[:, None]
+            ).argmin(axis=1)
+            downbeats = np.unique(beats_arr[idx])
 
         results = {
             "beat_pred": np.asarray(beats, float).tolist(),

@@ -62,12 +62,16 @@ def disambiguate_octave(
     min_bpm: float = 70.0,
     max_bpm: float = 250.0,
     margin: float = 1.5,
+    min_abs_margin: float = 0.02,
 ) -> Tuple[np.ndarray, Optional[str]]:
     """Return (possibly octave-corrected beats, applied-candidate-or-None).
 
     `activation`: the beat channel of the tracker's sigmoid output [T].
     `margin`: a candidate must score at least `margin` times the identity
     score (and identity must not already be decisively good) to be adopted.
+    `min_abs_margin`: absolute score floor on top of the relative rule, so
+    near-tie flips on weak/noisy near-flat activations are rejected even
+    when the identity score is non-positive.
     """
     beats = np.asarray(beats, dtype=np.float64)
     if len(beats) < 8 or len(activation) < 8:
@@ -89,9 +93,13 @@ def disambiguate_octave(
         score = _grid_score(cand, activation, fps)
         # Adoption rule: decisively better than the DBN's own octave. For
         # non-positive base scores (identity midpoints hotter than its
-        # beats — a strong octave-error signal) any positive candidate
-        # score clears the bar.
-        threshold = base * margin if base > 0 else 0.0
+        # beats — a strong octave-error signal) the candidate still has to
+        # clear an absolute margin, not just be infinitesimally positive.
+        threshold = max(
+            base * margin if base > 0 else 0.0,
+            base + min_abs_margin,
+            min_abs_margin,
+        )
         if score > threshold and score > best_score:
             best_name, best_beats, best_score = name, cand, score
     return best_beats, best_name

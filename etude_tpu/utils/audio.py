@@ -98,6 +98,9 @@ def resample_audio(wave: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray
     """
     if orig_sr == target_sr:
         return wave
+    # Both paths filter in f32 (the native kernel is f32-only); casting up
+    # front keeps the scipy fallback numerically identical for f64 input.
+    wave = np.asarray(wave, np.float32)
     g = np.gcd(int(orig_sr), int(target_sr))
     up, down = target_sr // g, orig_sr // g
     if wave.ndim == 1:

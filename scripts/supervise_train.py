@@ -52,6 +52,9 @@ def main(argv=None) -> int:
     parser.add_argument("--stall-seconds", type=int, default=300)
     parser.add_argument("--poll-seconds", type=int, default=30)
     parser.add_argument("--max-restarts", type=int, default=4)
+    parser.add_argument("--restart-on-crash", action="store_true",
+                        help="also restart (with --resume) on nonzero child "
+                             "exits, not just stalls")
     args = parser.parse_args(argv[:split])
     cmd = argv[split + 1:]
 
@@ -62,7 +65,10 @@ def main(argv=None) -> int:
             run_cmd += ["--resume", args.ckpt_dir]
         print(f"[supervisor] launch (restart {restarts}): "
               f"{' '.join(run_cmd)}", flush=True)
-        child = subprocess.Popen(run_cmd)
+        # Own session/process group: a stall kill must reach any grandchild
+        # (data-loader workers, shell wrappers) or it can keep the TPU
+        # tunnel held and make the restart's attach fail.
+        child = subprocess.Popen(run_cmd, start_new_session=True)
         last_cpu = cpu_seconds(child.pid)
         quiet = 0.0
         while True:
@@ -82,14 +88,18 @@ def main(argv=None) -> int:
                 quiet = 0.0
             if quiet >= args.stall_seconds:
                 print(f"[supervisor] STALL: <1% cpu for {quiet:.0f}s — "
-                      "killing child", flush=True)
-                child.send_signal(signal.SIGKILL)
+                      "killing child process group", flush=True)
+                try:
+                    os.killpg(child.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    child.send_signal(signal.SIGKILL)
                 child.wait()
                 code = None
                 break
         if code is not None:
             print(f"[supervisor] child exited {code}", flush=True)
-            return code
+            if code == 0 or not args.restart_on_crash:
+                return code
         restarts += 1
         if restarts > args.max_restarts:
             print("[supervisor] restart budget exhausted", flush=True)

@@ -198,12 +198,12 @@ def main(argv=None) -> int:
                     "ipe": round(float(np.mean(ipes)), 3) if ipes else None,
                     "wall_s": round(wall, 1),
                 })
+            seed_rgcs = [s["rgc"] for s in per_seed if s["rgc"] is not None]
+            seed_ipes = [s["ipe"] for s in per_seed if s["ipe"] is not None]
             row = {
                 "temperature": temp, "top_p": top_p,
-                "rgc": round(float(np.mean(
-                    [s["rgc"] for s in per_seed if s["rgc"] is not None])), 4),
-                "ipe": round(float(np.mean(
-                    [s["ipe"] for s in per_seed if s["ipe"] is not None])), 3),
+                "rgc": round(float(np.mean(seed_rgcs)), 4) if seed_rgcs else None,
+                "ipe": round(float(np.mean(seed_ipes)), 3) if seed_ipes else None,
                 "seeds": per_seed,
             }
             results.append(row)
