@@ -265,6 +265,22 @@ def synth_piano_notes(
     return out
 
 
+def _add_seg(wave: np.ndarray, i0: int, seg: np.ndarray) -> None:
+    """Mix `seg` into `wave` starting at sample `i0`, clipping both ends.
+
+    A plain `wave[i0:i0+len(seg)] += seg[:len(wave)-i0]` breaks on the
+    edges callers legitimately produce: an onset at/past the buffer end
+    makes the slice length negative, and a jittered onset just before 0
+    makes `i0` negative (Python wraps it to the buffer tail)."""
+    if len(seg) == 0:
+        return
+    lo = max(i0, 0)
+    hi = min(i0 + len(seg), len(wave))
+    if hi <= lo:
+        return
+    wave[lo:hi] += seg[lo - i0:hi - i0]
+
+
 def render_piano(notes: List[Dict], dur: float, sr: int = AMT_SR,
                  n_harmonics: int = 6) -> np.ndarray:
     """Additive-synthesis rendering: harmonics with exponential decay and a
@@ -285,8 +301,7 @@ def render_piano(notes: List[Dict], dur: float, sr: int = AMT_SR,
                 break
             sig += (0.6 ** (h - 1)) * np.sin(2 * np.pi * fh * t)
         i0 = int(note["onset"] * sr)
-        seg = (amp * env * sig).astype(np.float32)
-        wave[i0:i0 + len(seg)] += seg[: len(wave) - i0]
+        _add_seg(wave, i0, (amp * env * sig).astype(np.float32))
     peak = np.abs(wave).max()
     if peak > 1.0:
         wave /= peak
@@ -329,8 +344,7 @@ def render_vocal(notes: List[Dict], dur: float, sr: int = 44100) -> np.ndarray:
                        + 0.08)
             sig += formant * np.sin(phase * h)
         i0 = int(note["onset"] * sr)
-        seg = (amp * env * sig).astype(np.float32)
-        wave[i0:i0 + len(seg)] += seg[: len(wave) - i0]
+        _add_seg(wave, i0, (amp * env * sig).astype(np.float32))
     return wave
 
 
@@ -351,8 +365,7 @@ def render_bass(notes: List[Dict], dur: float, sr: int = 44100) -> np.ndarray:
                + 0.15 * np.sin(2 * np.pi * 3 * f0 * t))
         sig = np.tanh(1.5 * sig)
         i0 = int(note["onset"] * sr)
-        seg = (amp * env * sig).astype(np.float32)
-        wave[i0:i0 + len(seg)] += seg[: len(wave) - i0]
+        _add_seg(wave, i0, (amp * env * sig).astype(np.float32))
     return wave
 
 
@@ -376,8 +389,7 @@ def render_pad(notes: List[Dict], dur: float, sr: int = 44100) -> np.ndarray:
                 break
             sig += (1.0 / h) * np.sin(2 * np.pi * fh * t)
         i0 = int(note["onset"] * sr)
-        seg = (amp * env * sig).astype(np.float32)
-        wave[i0:i0 + len(seg)] += seg[: len(wave) - i0]
+        _add_seg(wave, i0, (amp * env * sig).astype(np.float32))
     return wave
 
 
@@ -390,9 +402,7 @@ def render_drums(beat_times: np.ndarray, down_times: np.ndarray, dur: float,
     downs = set(np.round(np.asarray(down_times, float), 3))
 
     def add(t0: float, seg: np.ndarray) -> None:
-        i0 = int(t0 * sr)
-        if 0 <= i0 < len(wave):
-            wave[i0:i0 + len(seg)] += seg[: len(wave) - i0]
+        _add_seg(wave, int(t0 * sr), seg)
 
     beats = np.asarray(beat_times, float)
     for i, b in enumerate(beats):

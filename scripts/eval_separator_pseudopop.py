@@ -44,122 +44,22 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from etude_tpu.data.synthetic import (  # noqa: E402
-    beat_f_measure,
-    render_bass,
-    render_drums,
-    render_pad,
-    render_piano,
-    render_vocal,
+from etude_tpu.data.pseudopop import (  # noqa: E402
+    STEM_NAMES,
+    build_stems as _build_stems,
 )
+from etude_tpu.data.synthetic import beat_f_measure  # noqa: E402
 from etude_tpu.utils.logger import logger  # noqa: E402
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 from validate_beat_corpus import grid_beat_times, snap_gated_song  # noqa: E402
-
-STEM_NAMES = ("vocals", "piano", "guitar", "bass", "drums")
-MIX_GAINS = {"vocals": 0.9, "piano": 1.0, "guitar": 0.55, "bass": 0.8,
-             "drums": 0.9}
-
-
-def _onset_groups(notes, tol: float = 0.03):
-    """Notes clustered by onset time (sorted)."""
-    groups = []
-    for n in sorted(notes, key=lambda d: d["onset"]):
-        if groups and n["onset"] - groups[-1][0]["onset"] <= tol:
-            groups[-1].append(n)
-        else:
-            groups.append([n])
-    return groups
-
-
-def melody_line(notes, dur: float):
-    """Top line (+12 semitones), monophonic, clipped at the next onset."""
-    groups = _onset_groups(notes)
-    line = []
-    for g in groups:
-        top = max(g, key=lambda d: d["pitch"])
-        if top["pitch"] < 55:
-            continue
-        line.append(dict(top))
-    out = []
-    for i, n in enumerate(line):
-        end = line[i + 1]["onset"] if i + 1 < len(line) else n["offset"]
-        off = min(n["offset"] + 0.1, max(end, n["onset"] + 0.15), dur)
-        if off - n["onset"] < 0.05:
-            continue
-        out.append({"onset": n["onset"], "offset": off,
-                    "pitch": min(n["pitch"] + 12, 103),
-                    "velocity": n["velocity"]})
-    return out
-
-
-def bass_line(notes, beats: np.ndarray, dur: float):
-    """Lowest sounding pitch at each beat, folded into E1–B2, held to the
-    next beat."""
-    out = []
-    for i, b in enumerate(beats):
-        sounding = [n for n in notes if n["onset"] <= b + 0.05
-                    and n["offset"] > b]
-        if not sounding:
-            continue
-        p = min(n["pitch"] for n in sounding)
-        while p > 47:
-            p -= 12
-        while p < 28:
-            p += 12
-        end = beats[i + 1] if i + 1 < len(beats) else b + 0.5
-        out.append({"onset": float(b), "offset": float(min(end, dur)),
-                    "pitch": int(p), "velocity": 96})
-    return out
-
-
-def pad_chords(notes, downs: np.ndarray, dur: float):
-    """Per-bar: up to 3 distinct pitch classes voiced at E3–G4, sustained
-    for the bar."""
-    out = []
-    for i, d0 in enumerate(downs):
-        d1 = downs[i + 1] if i + 1 < len(downs) else d0 + 2.0
-        in_bar = [n for n in notes if d0 <= n["onset"] < d1]
-        if not in_bar:
-            continue
-        classes = []
-        for n in sorted(in_bar, key=lambda x: -x["offset"] + x["onset"]):
-            pc = n["pitch"] % 12
-            if pc not in classes:
-                classes.append(pc)
-            if len(classes) == 3:
-                break
-        for k, pc in enumerate(classes):
-            p = 52 + ((pc - 52) % 12)
-            out.append({"onset": float(d0), "offset": float(min(d1, dur)),
-                        "pitch": int(p + (12 if k == 2 and p < 60 else 0)),
-                        "velocity": 80})
-    return out
 
 
 def build_stems(notes, tempo, dur: float, sr: int, seed: int):
     beats = grid_beat_times(tempo, dur)
     downs = np.asarray(
         [t for r in tempo for t in r["downbeats"] if t < dur], float)
-    n = int(dur * sr) + 1
-    stems = {
-        "vocals": render_vocal(melody_line(notes, dur), dur, sr=sr),
-        "piano": render_piano(notes, dur, sr=sr),
-        "guitar": render_pad(pad_chords(notes, downs, dur), dur, sr=sr),
-        "bass": render_bass(bass_line(notes, beats, dur), dur, sr=sr),
-        "drums": render_drums(beats, downs, dur, sr=sr, seed=seed),
-    }
-    stems = {k: np.pad(v, (0, max(0, n - len(v))))[:n].astype(np.float32)
-             for k, v in stems.items()}
-    mix = sum(MIX_GAINS[k] * stems[k] for k in STEM_NAMES)
-    scale = 0.9 / max(float(np.abs(mix).max()), 1e-6)
-    mix = mix * scale
-    stems = {k: MIX_GAINS[k] * stems[k] * scale for k in STEM_NAMES}
-    # Serving int16 WAV quantization on the mixture.
-    mix = (np.clip(mix, -1, 1) * 32767).astype(np.int16).astype(
-        np.float32) / 32767.0
-    return mix, stems, beats
+    return _build_stems(notes, beats, downs, dur, sr, seed)
 
 
 def mel_mag(wave: np.ndarray) -> np.ndarray:
