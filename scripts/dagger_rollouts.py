@@ -62,6 +62,12 @@ def main(argv=None) -> int:
     parser.add_argument("--dataset-dir", default="dataset_distill")
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--limit", type=int, default=0)
+    parser.add_argument("--stride", type=int, default=1,
+                        help="take every k-th song (variants of one base "
+                             "song are adjacent in the dataset, so a stride "
+                             "covers every base song at 1/k the cost — for "
+                             "DAgger re-aggregation passes where fresh-"
+                             "rollout coverage beats variant completeness)")
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--force", action="store_true",
@@ -122,6 +128,8 @@ def main(argv=None) -> int:
     edges = calculate_bin_edges(
         [a for s in songs for a in s["attrs"]]
     )
+    if args.stride > 1:
+        songs = songs[:: args.stride]
     if args.limit:
         songs = songs[: args.limit]
 
@@ -147,6 +155,9 @@ def main(argv=None) -> int:
             s["dir"] / f"{s['dir'].name}_hist.npy"
         ).exists()
     ]
+    # Lockstep batches run to the longest song in the batch; sort by bar
+    # count so batches are homogeneous (and shape buckets get reused).
+    todo.sort(key=lambda s: len(s["src_bars"]), reverse=True)
     logger.info(f"{len(todo)}/{len(songs)} songs need rollouts")
 
     done = 0

@@ -84,6 +84,42 @@ class TestPseudoPopAssembly:
         assert all(len(stems[k]) == n for k in STEM_NAMES)
         assert len(beats) >= 18  # 120 bpm over 10 s minus tail
 
+    def test_module_build_stems_gain_drop_and_jitter_labels(self):
+        from etude_tpu.data.pseudopop import MIX_GAINS, STEM_NAMES, build_stems
+
+        beats = np.arange(8) * 0.5
+        downs = beats[::4]
+        notes = [{"onset": 0.1 + i * 0.45, "offset": 0.5 + i * 0.45,
+                  "pitch": 60 + (i % 5) * 3, "velocity": 90}
+                 for i in range(10)]
+        mix, stems, b = build_stems(notes, beats, downs, 4.0, SR, seed=3)
+        # int16-quantized serving mixture; gain-scaled stems reconstruct it.
+        q = mix * 32767.0
+        assert np.allclose(q, np.round(q), atol=1e-3)
+        pre = sum(stems[k] for k in STEM_NAMES)
+        assert np.abs(pre - mix).max() < 1.0 / 32767.0 + 1e-6
+        # A zero gain drops the stem entirely.
+        _, stems0, _ = build_stems(notes, beats, downs, 4.0, SR, 3,
+                                   gains={**MIX_GAINS, "drums": 0.0})
+        assert np.abs(stems0["drums"]).max() == 0.0
+        # Drum humanization jitters audio anchors, never the labels.
+        _, _, b_j = build_stems(notes, beats, downs, 4.0, SR, 3,
+                                drum_jitter=0.01)
+        assert np.array_equal(b_j, beats)
+
+    def test_renderer_edge_onsets_clip_not_wrap(self):
+        from etude_tpu.data.synthetic import render_drums, render_piano
+
+        # Onset past the buffer end: silently dropped (used to crash).
+        w = render_piano([{"onset": 4.5, "offset": 5.0, "pitch": 60,
+                           "velocity": 90}], 4.0)
+        assert np.abs(w).max() == 0.0
+        # Jittered hit just before t=0: clipped, not wrapped to the tail.
+        w = render_drums(np.array([-0.005, 0.5]), np.array([-0.005]), 2.0,
+                         sr=SR, seed=1)
+        assert np.abs(w[-2000:]).max() < 1e-6
+        assert np.abs(w).max() > 0.0
+
     def test_si_sdr_scale_invariance(self):
         from eval_separator_pseudopop import si_sdr
 
