@@ -115,6 +115,49 @@ def pad_chords(notes, downs: np.ndarray, dur: float):
     return out
 
 
+def stft_mag(wave: np.ndarray, n_fft: int = 4096, hop: int = 1024,
+             n_frames: Optional[int] = None) -> np.ndarray:
+    """|STFT| magnitude [T, n_fft//2+1] matching the serving separation
+    transform exactly (data/separation.py:_separate_mel_jit): host reflect
+    center-pad, periodic Hann `0.5*(1-cos(2πn/N))`, rfft magnitude.
+
+    Training the separator on these magnitudes keeps the train/serving
+    signal chain identical (pad_bucket_wave + frame_power_spectrum)."""
+    wave = np.asarray(wave, np.float32)
+    pad = n_fft // 2
+    padded = (np.pad(wave, pad, mode="reflect") if len(wave) > pad
+              else np.pad(wave, pad, mode="constant"))
+    total = 1 + (len(padded) - n_fft) // hop
+    T = total if n_frames is None else min(n_frames, total)
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(T)[:, None]
+    n = np.arange(n_fft)
+    window = (0.5 * (1.0 - np.cos(2 * np.pi * n / n_fft))).astype(np.float32)
+    spec = np.fft.rfft(padded[idx] * window[None, :], axis=1)
+    mag = np.abs(spec).astype(np.float32)
+    if n_frames is not None and T < n_frames:
+        mag = np.pad(mag, ((0, n_frames - T), (0, 0)))
+    return mag
+
+
+def separation_example_from_stems(
+    mix: np.ndarray,
+    stems: Dict[str, np.ndarray],
+    T: int = 256,
+) -> Dict[str, np.ndarray]:
+    """(mix, gain-scaled stems) → the separator training contract
+    {mix_mag [T, F], stem_mags [5, T, F]} through the serving STFT.
+
+    mix_mag comes from the int16-quantized mixture (what serving sees);
+    stem targets from the clean gain-scaled stems. Ideal ratio masks are
+    then exactly stem/mix up to the quantization noise."""
+    return {
+        "mix_mag": stft_mag(mix, n_frames=T),
+        "stem_mags": np.stack(
+            [stft_mag(stems[k], n_frames=T) for k in STEM_NAMES]
+        ),
+    }
+
+
 def build_stems(
     notes: List[Dict],
     beats: np.ndarray,

@@ -67,11 +67,12 @@ DROP_P = {"vocals": 0.25, "piano": 0.10, "guitar": 0.25, "bass": 0.20,
           "drums": 0.20}
 
 
-def make_scene_raw(rng: np.random.Generator, pool):
-    """One augmented pseudo-pop window → (mix int16 [n], act [T,2] f16,
-    tempo i32) or None when the sampled window is unusable."""
+def sample_window(rng: np.random.Generator, pool, dur: float):
+    """One augmented pseudo-pop window spec: (aug_notes, b_in, d_in, gains,
+    drum_jitter, act, bpm) or None when the sampled window is unusable.
+    Shared by the beat-scene path below and the separator fine-tune
+    (scripts/train_aux_synthetic.py --pseudopop-mix)."""
     song, version, notes, tempo = pool[rng.integers(len(pool))]
-    dur = T_FRAMES / BEAT_FPS
     last = max(n["offset"] for n in notes)
     if last < dur + 2.0:
         return None
@@ -116,11 +117,22 @@ def make_scene_raw(rng: np.random.Generator, pool):
     if sum(1 for g in gains.values() if g > 0) < 2:
         gains["piano"] = MIX_GAINS["piano"]
         gains["drums"] = MIX_GAINS["drums"]
+    return aug, b_in, d_in, gains, float(rng.uniform(0.0, 0.012)), act, bpm
+
+
+def make_scene_raw(rng: np.random.Generator, pool):
+    """One augmented pseudo-pop window → (mix int16 [n], act [T,2] f16,
+    tempo i32) or None when the sampled window is unusable."""
+    dur = T_FRAMES / BEAT_FPS
+    spec = sample_window(rng, pool, dur)
+    if spec is None:
+        return None
+    aug, b_in, d_in, gains, drum_jitter, act, bpm = spec
 
     mix, _stems, _beats = build_stems(
         aug, b_in, d_in, dur + 0.3, sr=44100,
         seed=int(rng.integers(2 ** 31)),
-        gains=gains, drum_jitter=float(rng.uniform(0.0, 0.012)), rng=rng,
+        gains=gains, drum_jitter=drum_jitter, rng=rng,
     )
     if float(np.abs(mix).max()) < 1e-4:
         return None

@@ -713,12 +713,61 @@ def run_separator(args):
 
     config = sep.SeparatorConfig()
     params = sep.init_params(config, seed=args.seed)
+    if getattr(args, "init_from", None):
+        from etude_tpu.utils.training import load_params_only
+
+        params = load_params_only(Path(args.init_from), params)
+        logger.info(f"separator warm-started from {args.init_from}")
     logger.info(f"separator: {sep.param_count(params) / 1e6:.2f}M params")
     rng = np.random.default_rng(args.seed)
     T = args.sep_frames
 
+    # Pseudo-pop audio-domain examples (VERDICT r4 #6): realistic five-stem
+    # mixtures rendered from TRAIN-split corpus grids through the serving
+    # STFT — the procedural magnitude stems alone leave harmonic stems
+    # below the mix-as-estimate baseline on realistic mixtures.
+    pp_pool, pp_mix = None, float(getattr(args, "pseudopop_mix", 0.0))
+    if pp_mix > 0:
+        sys.path.insert(0, str(REPO / "scripts"))
+        from gen_beat_scenes import snap_gated_pool
+        from gen_pseudopop_scenes import sample_window  # noqa: F401
+
+        from etude_tpu.data import corpus_render as cr
+
+        train_dirs, _ = cr.split_songs(cr.corpus_song_dirs())
+        pp_pool = snap_gated_pool(train_dirs, 0.02)
+        logger.info(f"pseudo-pop pool: {len(pp_pool)} grids "
+                    f"(mix {pp_mix:.2f})")
+
+    def _pseudopop_example():
+        from gen_pseudopop_scenes import sample_window
+
+        from etude_tpu.data.pseudopop import (
+            build_stems, separation_example_from_stems,
+        )
+
+        dur = (T * 1024) / 44100.0 + 0.05
+        while True:
+            spec = sample_window(rng, pp_pool, dur)
+            if spec is None:
+                continue
+            aug, b_in, d_in, gains, drum_jitter, _act, _bpm = spec
+            mix, stems, _ = build_stems(
+                aug, b_in, d_in, dur, sr=44100,
+                seed=int(rng.integers(2 ** 31)),
+                gains=gains, drum_jitter=drum_jitter, rng=rng,
+            )
+            if float(np.abs(mix).max()) < 1e-4:
+                continue
+            return separation_example_from_stems(mix, stems, T=T)
+
     def gen(_i):
         batch = syn.separation_batch(rng, args.batch, T=T)
+        if pp_pool:
+            for b in range(int(round(args.batch * pp_mix))):
+                ex = _pseudopop_example()
+                batch["mix_mag"][b] = ex["mix_mag"]
+                batch["stem_mags"][b] = ex["stem_mags"]
         # Per-example loudness normalization: the L1 objective otherwise
         # weights loud mixes more and the mask head chases overall scale.
         rms = np.sqrt((batch["mix_mag"] ** 2).mean(axis=(1, 2), keepdims=True))
@@ -753,7 +802,10 @@ def run_separator(args):
     )
 
     stats.update({"stem_sdr_db": sdr, "baseline_sdr_db": base,
-                  "corpus": "synthetic-stems", "train_frames": T,
+                  "corpus": ("synthetic-stems + pseudo-pop audio stems "
+                             f"(mix {pp_mix:.2f})" if pp_pool
+                             else "synthetic-stems"),
+                  "train_frames": T,
                   "model": "SeparatorConfig()"})
     out = REPO / "checkpoints" / "separator" / "latest.ckpt"
     save_aux_params(out, params, metadata=stats)
@@ -786,6 +838,10 @@ def main(argv=None) -> int:
     parser.add_argument("--corpus-mix", type=float, default=0.5,
                         help="beat: fraction of each batch drawn from "
                              "--scenes-dir")
+    parser.add_argument("--pseudopop-mix", type=float, default=0.0,
+                        help="separator: fraction of each batch rendered "
+                             "on the fly as pseudo-pop audio stems through "
+                             "the serving STFT (TRAIN-split corpus grids)")
     args = parser.parse_args(argv)
 
     defaults = {"beat": (8, 5e-4), "beat-corpus": (8, 1.5e-4),
