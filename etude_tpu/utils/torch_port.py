@@ -320,25 +320,60 @@ def load_hft_pickle_state_dict(path) -> Dict[str, Any]:
     (etude/models/hft_transformer.py:26-33 CustomUnpickler); we instead
     materialize stub torch.nn.Module subclasses for whatever legacy class
     paths the pickle references — Module state lives in __dict__, so
-    state_dict() works without the original source."""
+    state_dict() works without the original source.
+
+    Handles all three whole-model formats a user can hold: raw
+    pickle.dump(model) (the reference's CustomUnpickler case — tensors
+    embed torch.save blobs via torch.storage._load_from_bytes), torch.save
+    zip archives, and pre-1.6 torch.save legacy streams (the latter two go
+    through torch.load with a shimmed pickle module so storages restore)."""
+    import io
     import pickle
 
     import torch
 
-    class _StubUnpickler(pickle.Unpickler):
-        _cache: Dict[str, type] = {}
+    _cache: Dict[str, type] = {}
 
+    class _StubUnpickler(pickle.Unpickler):
         def find_class(self, module, name):
+            if module == "torch.storage" and name == "_load_from_bytes":
+                # Raw-pickled tensors carry an embedded torch.save blob
+                # (same special case as the reference's CustomUnpickler).
+                return lambda b: torch.load(
+                    io.BytesIO(b), map_location="cpu", weights_only=True
+                )
             try:
                 return super().find_class(module, name)
             except (ImportError, AttributeError):
                 key = f"{module}.{name}"
-                if key not in self._cache:
-                    self._cache[key] = type(name, (torch.nn.Module,), {})
-                return self._cache[key]
+                if key not in _cache:
+                    _cache[key] = type(name, (torch.nn.Module,), {})
+                return _cache[key]
 
-    with open(path, "rb") as f:
-        model = _StubUnpickler(f).load()
+    class _ShimPickleModule:
+        """pickle-module facade torch.load accepts: same Unpickler, so
+        legacy class paths stub out while torch.load drives storage
+        restoration (persistent_load) for both archive formats."""
+        Unpickler = _StubUnpickler
+
+        @staticmethod
+        def load(f, **kw):
+            return _StubUnpickler(f, **kw).load()
+
+        @staticmethod
+        def loads(b, **kw):
+            return _StubUnpickler(io.BytesIO(b), **kw).load()
+
+    try:
+        model = torch.load(
+            path, map_location="cpu", weights_only=False,
+            pickle_module=_ShimPickleModule,
+        )
+    except (pickle.UnpicklingError, RuntimeError, EOFError, KeyError):
+        # Not a torch.save artifact — a raw pickle.dump(model), the format
+        # the reference's own loader expects.
+        with open(path, "rb") as f:
+            model = _StubUnpickler(f).load()
     if hasattr(model, "state_dict"):
         return model.state_dict()
     if isinstance(model, Mapping):

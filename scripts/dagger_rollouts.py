@@ -72,6 +72,10 @@ def main(argv=None) -> int:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--force", action="store_true",
                         help="regenerate existing _hist.npy files")
+    parser.add_argument("--skip-newer-than", type=str, default=None,
+                        help="with --force: keep _hist.npy files newer than "
+                             "this file's mtime (resume an interrupted "
+                             "regeneration pass without redoing its work)")
     args = parser.parse_args(argv)
 
     run = Path(args.run)
@@ -149,12 +153,18 @@ def main(argv=None) -> int:
         pad_id=vocab.pad_id,
     )
 
-    todo = [
-        s for s in songs
-        if args.force or not (
-            s["dir"] / f"{s['dir'].name}_hist.npy"
-        ).exists()
-    ]
+    fresh_after = (Path(args.skip_newer_than).stat().st_mtime
+                   if args.skip_newer_than else None)
+
+    def _needs(s) -> bool:
+        hist = s["dir"] / f"{s['dir'].name}_hist.npy"
+        if not hist.exists():
+            return True
+        if not args.force:
+            return False
+        return fresh_after is None or hist.stat().st_mtime <= fresh_after
+
+    todo = [s for s in songs if _needs(s)]
     # Lockstep batches run to the longest song in the batch; sort by bar
     # count so batches are homogeneous (and shape buckets get reused).
     todo.sort(key=lambda s: len(s["src_bars"]), reverse=True)

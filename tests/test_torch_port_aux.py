@@ -178,3 +178,47 @@ def test_hft_pickle_roundtrip(tmp_path, _no_grad):
     params_sd = convert_amt_state_dict(model.state_dict(), cfg)
     for a, b in zip(jax.tree.leaves(params_pkl), jax.tree.leaves(params_sd)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hft_pickle_torch_save_formats(tmp_path, _no_grad):
+    """Whole-model files written by torch.save (zip archive and pre-1.6
+    legacy stream) also load through the stub unpickler — a user holding
+    any latest.pkl vintage has a path in (reference CustomUnpickler only
+    handles the raw-pickle case, etude/models/hft_transformer.py:26-33)."""
+    import types
+
+    from etude_tpu.utils.torch_port import load_hft_pickle_state_dict
+
+    mod = types.ModuleType("model_fake_hft")
+
+    class Enc(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin = torch.nn.Linear(4, 3)
+            self.register_buffer("scale_freq", torch.tensor(2.0))
+
+    class Wrap(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder_spec2midi = Enc()
+            self.emb = torch.nn.Embedding(5, 4)
+
+    Enc.__module__ = Wrap.__module__ = "model_fake_hft"
+    Enc.__qualname__, Wrap.__qualname__ = "Enc", "Wrap"
+    mod.Enc, mod.Wrap = Enc, Wrap
+    sys.modules["model_fake_hft"] = mod
+    try:
+        model = Wrap()
+        ref_sd = {k: v.clone() for k, v in model.state_dict().items()}
+        zip_f = tmp_path / "zip.pkl"
+        legacy_f = tmp_path / "legacy.pkl"
+        torch.save(model, zip_f)
+        torch.save(model, legacy_f, _use_new_zipfile_serialization=False)
+    finally:
+        del sys.modules["model_fake_hft"]
+
+    for path in (zip_f, legacy_f):
+        sd = load_hft_pickle_state_dict(path)
+        assert set(sd) == set(ref_sd)
+        for k in ref_sd:
+            assert torch.equal(sd[k], ref_sd[k]), k
