@@ -68,6 +68,10 @@ def main(argv=None) -> int:
                              "covers every base song at 1/k the cost — for "
                              "DAgger re-aggregation passes where fresh-"
                              "rollout coverage beats variant completeness)")
+    parser.add_argument("--stride-offset", type=int, default=0,
+                        help="with --stride k: start at this index, so "
+                             "successive re-aggregation passes (offset 0, "
+                             "1, ...) refresh complementary song subsets")
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--force", action="store_true",
@@ -133,7 +137,7 @@ def main(argv=None) -> int:
         [a for s in songs for a in s["attrs"]]
     )
     if args.stride > 1:
-        songs = songs[:: args.stride]
+        songs = songs[args.stride_offset % args.stride :: args.stride]
     if args.limit:
         songs = songs[: args.limit]
 
