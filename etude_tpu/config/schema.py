@@ -259,6 +259,11 @@ class TrainConfig(BaseModel):
     # instead of the teacher bars. Opt-in so generating rollout files never
     # silently changes a plain training run.
     dagger_history: bool = False
+    # Per-chunk probability of actually substituting the rollout history
+    # when dagger_history is on; the remaining chunks keep the teacher
+    # history. <1.0 preserves the teacher-forced conditional while training
+    # the free-running one (see data/dataset.py).
+    dagger_history_prob: float = 1.0
     # Sample-level attribute dropout (see data/dataset.py): probability of
     # replacing a chunk's attribute bins with the neutral bin 1, matching
     # default serving's constant-neutral conditioning.

@@ -188,6 +188,7 @@ class EtudeDataset:
         num_attribute_bins: int = 3,
         context_num_past_xy_pairs: int = 4,
         attr_dropout: float = 0.0,
+        dagger_history_prob: float = 1.0,
     ):
         self.dataset_dir = Path(dataset_dir)
         self.vocab = vocab
@@ -214,6 +215,14 @@ class EtudeDataset:
         # train/serve mismatch (free-running onset match 0.439 constant vs
         # 0.857 oracle, VERDICT r3 #3).
         self.attr_dropout = float(attr_dropout)
+        # Per-chunk probability of using the rollout history when
+        # hist_suffix is set; the rest of the chunks keep the TEACHER
+        # history. Mixing preserves the teacher-forced conditional (whose
+        # accuracy pure-rollout DAgger passes erode — measured 0.891 →
+        # 0.778 onset F1 over two such passes, validation/
+        # dagger_r4_evals.json) while still training on the self-generated
+        # history distribution inference produces.
+        self.dagger_history_prob = float(dagger_history_prob)
 
         self.pad_id = vocab.pad_id
         self.bar_bos_id = vocab.bar_bos_id
@@ -298,7 +307,9 @@ class EtudeDataset:
             for name in MODEL_ATTRIBUTES
         }
 
-    def _full_sample(self, song_idx: int, bar_idx: int) -> Dict[str, List[int]]:
+    def _full_sample(
+        self, song_idx: int, bar_idx: int, use_hist: bool = True
+    ) -> Dict[str, List[int]]:
         bars = self.songs[song_idx]["bars"]
         empty_bar = [self.bar_bos_id, self.bar_eos_id]
         shorts = [ATTRIBUTE_SHORT_NAMES[n] for n in MODEL_ATTRIBUTES]
@@ -319,7 +330,8 @@ class EtudeDataset:
                 past = bars[hist_idx]
                 bin_map = self._bar_attr_bins(past)
                 extend(past["src_bar_ids"], SRC_CLASS_ID, bin_map)
-                extend(past.get("hist_bar_ids", past["tgt_bar_ids"]),
+                extend(past.get("hist_bar_ids", past["tgt_bar_ids"])
+                       if use_hist else past["tgt_bar_ids"],
                        TGT_CLASS_ID, bin_map)
             else:
                 neutral = {s: 1 for s in shorts}
@@ -372,9 +384,18 @@ class EtudeDataset:
         return len(self.sample_map)
 
     def __getitem__(self, idx: int) -> Dict[str, List[int]]:
+        return self._chunk(idx, use_hist=True)
+
+    def _chunk(self, idx: int, use_hist: bool) -> Dict[str, List[int]]:
         song_idx, bar_idx, start, end = self.sample_map[idx]
-        full = self._full_sample(song_idx, bar_idx)
-        return {k: v[start:end] for k, v in full.items()}
+        full = self._full_sample(song_idx, bar_idx, use_hist=use_hist)
+        # Chunk starts were computed on the hist-based stream; the teacher
+        # stream may be shorter/longer, so slice a full window from `start`
+        # rather than trusting the precomputed end (which would truncate a
+        # longer-history variant). Python slicing clips at the stream end;
+        # the slight boundary drift only affects multi-chunk (>max_seq_len
+        # token) bars.
+        return {k: v[start:start + self.max_seq_len] for k, v in full.items()}
 
     # ---- batching ------------------------------------------------------
     def collate(self, items: List[Dict[str, List[int]]]) -> Dict[str, np.ndarray]:
@@ -417,6 +438,14 @@ class EtudeDataset:
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         drop_rng = np.random.default_rng(seed + 1)
+        hist_rng = np.random.default_rng(seed + 2)
+
+        def fetch(j):
+            use_hist = self.hist_suffix is not None and (
+                self.dagger_history_prob >= 1.0
+                or hist_rng.random() < self.dagger_history_prob
+            )
+            return self._chunk(j, use_hist=use_hist)
 
         def maybe_drop_attrs(item):
             if self.attr_dropout <= 0.0 or not item["input_ids"]:
@@ -435,9 +464,9 @@ class EtudeDataset:
                 if drop_last:
                     return
                 pad_rows = batch_size - len(idx)
-                items = [maybe_drop_attrs(self[j]) for j in idx] + [
+                items = [maybe_drop_attrs(fetch(j)) for j in idx] + [
                     {k: [] for k in self[0].keys()} for _ in range(pad_rows)
                 ]
                 yield self.collate(items)
                 return
-            yield self.collate([maybe_drop_attrs(self[j]) for j in idx])
+            yield self.collate([maybe_drop_attrs(fetch(j)) for j in idx])

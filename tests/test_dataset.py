@@ -285,3 +285,44 @@ def test_dataset_dagger_history(tmp_path, vocab):
                        hist_suffix="_hist.npy")
     s2 = ds2._full_sample(0, bar_idx)
     assert s2["input_ids"] == s_base["input_ids"]
+
+
+def test_dataset_dagger_history_prob_mixing(tmp_path, vocab):
+    """dagger_history_prob < 1 mixes rollout-history and teacher-history
+    chunks within one epoch: p=0 reproduces the teacher stream exactly,
+    p=1 the rollout stream, and p=0.5 yields both kinds."""
+    _write_song(tmp_path, vocab, "0000")
+    hist_ids = []
+    for i in range(6):
+        hist_ids += _bar(vocab, [(0, 40 + i, 2)])
+    np.save(tmp_path / "0000" / "0000_hist.npy",
+            np.asarray(hist_ids, np.int32))
+
+    base = EtudeDataset(tmp_path, vocab, max_seq_len=512, hist_suffix=None)
+
+    def streams(prob, seed=0):
+        ds = EtudeDataset(tmp_path, vocab, max_seq_len=512,
+                          hist_suffix="_hist.npy",
+                          dagger_history_prob=prob)
+        return [b["input_ids"] for b in ds.batches(
+            batch_size=1, shuffle=False, seed=seed, drop_last=False)]
+
+    teacher = [b["input_ids"] for b in base.batches(
+        batch_size=1, shuffle=False, seed=0, drop_last=False)]
+    all_teacher = streams(0.0)
+    all_hist = streams(1.0)
+    for got, want in zip(all_teacher, teacher):
+        np.testing.assert_array_equal(got, want)
+    # Later bars have rollout history, so p=1 differs from teacher.
+    assert any(not np.array_equal(a, b) for a, b in zip(all_hist, teacher))
+
+    mixed = streams(0.5)
+    n_teacher = sum(np.array_equal(m, t) for m, t in zip(mixed, teacher))
+    n_hist = sum(np.array_equal(m, h) for m, h in zip(mixed, all_hist))
+    # Every chunk is one of the two vintages; both kinds appear. (Early
+    # bars with no history are identical in both, counted in both sums.)
+    assert n_teacher + n_hist >= len(mixed)
+    assert any(np.array_equal(m, h) and not np.array_equal(m, t)
+               for m, h, t in zip(mixed, all_hist, teacher))
+    assert any(np.array_equal(m, t) and not np.array_equal(m, h)
+               for m, h, t in zip(mixed, all_hist, teacher))

@@ -94,6 +94,7 @@ def main(argv=None) -> int:
         num_attribute_bins=cfg.decoder.num_attribute_bins,
         context_num_past_xy_pairs=cfg.decoder.context_num_past_xy_pairs,
         attr_dropout=tc.attr_dropout,
+        dagger_history_prob=tc.dagger_history_prob,
     )
     if tc.attr_dropout > 0:
         logger.info(f"attribute dropout: {tc.attr_dropout:.2f} "
@@ -106,7 +107,8 @@ def main(argv=None) -> int:
         )
         logger.info(
             f"DAgger history: {n_hist}/{len(dataset.songs)} songs have "
-            "model rollouts (scripts/dagger_rollouts.py)"
+            f"model rollouts (scripts/dagger_rollouts.py), "
+            f"p(use rollout)={tc.dagger_history_prob:.2f}"
         )
     if len(dataset) == 0:
         logger.error("dataset is empty — run prepare.py first")
