@@ -53,8 +53,13 @@ def save_checkpoint(
     }
     latest = checkpoint_dir / "latest"
     # Crash-safe: write to a scratch dir, then swap via rename (a kill mid-
-    # write must never destroy the previous checkpoint).
+    # write must never destroy the previous checkpoint). Also clear orbax's
+    # own in-progress suffix dirs (".latest.tmp.orbax-checkpoint-tmp"): a
+    # process killed inside Checkpointer.save leaves one behind, and a
+    # restarted run must not trip over it.
     tmp = checkpoint_dir / ".latest.tmp"
+    for stale in checkpoint_dir.glob(".latest.tmp*"):
+        shutil.rmtree(stale, ignore_errors=True)
     if tmp.exists():
         shutil.rmtree(tmp)
     _checkpointer().save(tmp, payload)

@@ -727,7 +727,26 @@ def run_separator(args):
     # STFT — the procedural magnitude stems alone leave harmonic stems
     # below the mix-as-estimate baseline on realistic mixtures.
     pp_pool, pp_mix = None, float(getattr(args, "pseudopop_mix", 0.0))
-    if pp_mix > 0:
+    # Pre-rendered example cache (scripts/gen_pseudopop_sep_examples.py):
+    # on this single-core host, on-the-fly stem rendering dominates the
+    # training step; the cache turns the pseudo-pop rows into array lookups.
+    pp_cache = None
+    cache_dir = getattr(args, "pseudopop_cache", None)
+    if pp_mix > 0 and cache_dir:
+        shards = sorted(Path(cache_dir).glob("shard_*.npz"))
+        if shards:
+            ms, ss = [], []
+            for s in shards:
+                with np.load(s) as z:
+                    ms.append(z["mix_mag"].astype(np.float32))
+                    ss.append(z["stem_mags"].astype(np.float32))
+            pp_cache = {"mix_mag": np.concatenate(ms),
+                        "stem_mags": np.concatenate(ss)}
+            logger.info(f"pseudo-pop cache: {len(pp_cache['mix_mag'])} "
+                        f"pre-rendered examples from {len(shards)} shards")
+        else:
+            logger.warn(f"no shards under {cache_dir}; rendering on the fly")
+    if pp_mix > 0 and pp_cache is None:
         sys.path.insert(0, str(REPO / "scripts"))
         from gen_beat_scenes import snap_gated_pool
         from gen_pseudopop_scenes import sample_window  # noqa: F401
@@ -763,8 +782,15 @@ def run_separator(args):
 
     def gen(_i):
         batch = syn.separation_batch(rng, args.batch, T=T)
-        if pp_pool:
-            for b in range(int(round(args.batch * pp_mix))):
+        n_pp = int(round(args.batch * pp_mix))
+        if pp_cache is not None and n_pp:
+            idx = rng.integers(len(pp_cache["mix_mag"]), size=n_pp)
+            Tc = min(pp_cache["mix_mag"].shape[1], T)
+            batch["mix_mag"][:n_pp, :Tc] = pp_cache["mix_mag"][idx][:, :Tc]
+            batch["stem_mags"][:n_pp, :, :Tc] = (
+                pp_cache["stem_mags"][idx][:, :, :Tc])
+        elif pp_pool:
+            for b in range(n_pp):
                 ex = _pseudopop_example()
                 batch["mix_mag"][b] = ex["mix_mag"]
                 batch["stem_mags"][b] = ex["stem_mags"]
@@ -838,6 +864,11 @@ def main(argv=None) -> int:
     parser.add_argument("--corpus-mix", type=float, default=0.5,
                         help="beat: fraction of each batch drawn from "
                              "--scenes-dir")
+    parser.add_argument("--pseudopop-cache", type=str, default=None,
+                        help="separator: dir of pre-rendered pseudo-pop "
+                             "example shards (scripts/"
+                             "gen_pseudopop_sep_examples.py); avoids "
+                             "on-the-fly rendering on 1-core hosts")
     parser.add_argument("--pseudopop-mix", type=float, default=0.0,
                         help="separator: fraction of each batch rendered "
                              "on the fly as pseudo-pop audio stems through "
