@@ -133,36 +133,30 @@ def init_stream_cache(config: EtudeDecoderConfig, batch: int,
     """Two-region window cache (see module docstring); cache_len = hist
     region + bar region.
 
-    K and V are FUSED into one buffer [L, B, H, 2D, C]: rows [0, D) of the
-    sublane axis hold K, rows [D, 2D) hold V, the slot axis LAST so it lands
-    in the TPU lane dimension. Two wins over separate K/V buffers:
-
-      * one `dynamic_update_slice` per layer-step instead of two — the
-        decode step at serving batch is op-dispatch-bound, not FLOP-bound,
-        and the fused write halves the per-layer DUS count;
-      * with C minor the tiles are dense in the long axis (the naive
-        [.., C, H, D] layout tiles H=8/D=64 onto the (sublane, lane) grid
-        with 4–8× padding waste — measured ~0.69 µs per slot per step);
-        the K/V halves split at a sublane multiple of the bf16 tile (D=64),
-        so the score and context dots each read a dense, contiguous half.
+    K/V layout is [L, B, H, D, C] — the slot axis LAST so it lands in the
+    TPU lane dimension. The decode step is HBM-bound on the cache read, and
+    with the naive [.., C, H, D] layout the minor dims (H=8, D=64) tile onto
+    the (sublane, lane) grid with 4–8× padding waste (measured ~0.69 µs per
+    slot per step ≈ 6% of HBM bandwidth on ideal bytes). With C minor the
+    tiles are dense in the long axis and the read streams at full width.
 
     quant=True stores K/V as int8 with one f32 scale per (layer, stream,
-    k-or-v, head, slot) — amax/127 symmetric quantization, scales fused
-    into one [L, B, 2, H, C] buffer (index 0 = K, 1 = V). int8 halves the
-    cache read; the score and context dots run int8×int8 → s32 with the
-    scales applied outside the contractions (per-slot scales factor out of
-    the D / C sums)."""
+    head, slot) — amax/127 symmetric quantization. int8 halves the cache
+    read; the score and context dots run int8×int8 → s32 with the scales
+    applied outside the contractions (per-slot scales factor out of the
+    D / C sums)."""
     L, H, D = (config.num_hidden_layers, config.num_attention_heads,
                config.head_dim)
+    shape = (L, batch, H, D, cache_len)
     cache = {
-        "kv": jnp.zeros((L, batch, H, 2 * D, cache_len),
-                        jnp.int8 if quant else dtype),
+        "k": jnp.zeros(shape, jnp.int8 if quant else dtype),
+        "v": jnp.zeros(shape, jnp.int8 if quant else dtype),
         # Global stream position held in each slot; -1 = dead/never visible.
         "slot_pos": jnp.full((batch, cache_len), -1, jnp.int32),
     }
     if quant:
-        cache["kv_scale"] = jnp.zeros((L, batch, 2, H, cache_len),
-                                      jnp.float32)
+        cache["k_scale"] = jnp.zeros((L, batch, H, cache_len), jnp.float32)
+        cache["v_scale"] = jnp.zeros((L, batch, H, cache_len), jnp.float32)
     return cache
 
 
@@ -218,11 +212,13 @@ def compact_window(cache, win_start: jnp.ndarray, cur: jnp.ndarray,
         axis=1,
     )
     out = {
-        "kv": gather(cache["kv"], "bjc,lbhdc->lbhdj"),
+        "k": gather(cache["k"], "bjc,lbhdc->lbhdj"),
+        "v": gather(cache["v"], "bjc,lbhdc->lbhdj"),
         "slot_pos": new_slot_pos,
     }
-    if "kv_scale" in cache:
-        out["kv_scale"] = gather(cache["kv_scale"], "bjc,lbshc->lbshj")
+    for key in ("k_scale", "v_scale"):
+        if key in cache:
+            out[key] = gather(cache[key], "bjc,lbhc->lbhj")
     return out
 
 
@@ -287,8 +283,8 @@ def stream_chunk(
         cache["slot_pos"], pos_vals, (0, slot_offset)
     )
 
-    C = cache["kv"].shape[-1]
-    quant = "kv_scale" in cache
+    C = cache["k"].shape[-1]
+    quant = "k_scale" in cache
 
     def bias_for(regions):
         # Attention bias [B, 1, S, R]: visible iff win_start <= key_pos <=
@@ -317,9 +313,9 @@ def stream_chunk(
     # read traffic per decode step. Static indexing keeps the cache threaded
     # linearly, so the only cache traffic is the (l, slot) DUS write and the
     # attention read; layer param slices are loop-invariant and hoisted.
-    new_kv = cache["kv"]
-    new_scales = cache.get("kv_scale")
-    head_dim_k = config.head_dim  # K rows [0, D), V rows [D, 2D)
+    new_k, new_v = cache["k"], cache["v"]
+    new_ks = cache.get("k_scale")
+    new_vs = cache.get("v_scale")
     for layer_idx in range(config.num_hidden_layers):
         layer = jax.tree.map(lambda a: a[layer_idx], params["layers"])
         x = h
@@ -330,22 +326,27 @@ def stream_chunk(
         q = _apply_rotary_pos(q.astype(jnp.float32), cos, sin, config.rotary_dim)
         k = _apply_rotary_pos(k.astype(jnp.float32), cos, sin, config.rotary_dim)
 
-        # Write layout: cache is [L, B, H, 2D, C] (K rows then V rows, slot
-        # axis in lanes) — ONE fused DUS per layer covers both K and V.
+        # Write layout: cache is [L, B, H, D, C] (slot axis in lanes).
         if quant:
             k_w, ks_w = _quantize_kv(k)
             v_w, vs_w = _quantize_kv(v.astype(jnp.float32))
-            scales_w = jnp.stack([ks_w, vs_w], axis=1)      # [B, 2, S, H]
-            new_scales = jax.lax.dynamic_update_slice(
-                new_scales, scales_w.transpose(0, 1, 3, 2)[None],
-                (layer_idx, 0, 0, 0, slot_offset),
+            new_ks = jax.lax.dynamic_update_slice(
+                new_ks, ks_w.transpose(0, 2, 1)[None],
+                (layer_idx, 0, 0, slot_offset),
+            )
+            new_vs = jax.lax.dynamic_update_slice(
+                new_vs, vs_w.transpose(0, 2, 1)[None],
+                (layer_idx, 0, 0, slot_offset),
             )
         else:
-            k_w = k.astype(new_kv.dtype)
-            v_w = v.astype(new_kv.dtype)
-        kv_w = jnp.concatenate([k_w, v_w], axis=-1)         # [B, S, H, 2D]
-        new_kv = jax.lax.dynamic_update_slice(
-            new_kv, kv_w.transpose(0, 2, 3, 1)[None],
+            k_w = k.astype(new_k.dtype)
+            v_w = v.astype(new_v.dtype)
+        new_k = jax.lax.dynamic_update_slice(
+            new_k, k_w.transpose(0, 2, 3, 1)[None],
+            (layer_idx, 0, 0, 0, slot_offset),
+        )
+        new_v = jax.lax.dynamic_update_slice(
+            new_v, v_w.transpose(0, 2, 3, 1)[None],
             (layer_idx, 0, 0, 0, slot_offset),
         )
 
@@ -355,14 +356,13 @@ def stream_chunk(
             # s32 result.
             q_q, q_s = _quantize_kv(q)
             s32 = jnp.einsum(
-                "bqhd,bhdc->bhqc", q_q,
-                new_kv[layer_idx, :, :, :head_dim_k, :],
+                "bqhd,bhdc->bhqc", q_q, new_k[layer_idx],
                 preferred_element_type=jnp.int32,
             )
             scores = (
                 s32.astype(jnp.float32)
                 * q_s.transpose(0, 2, 1)[:, :, :, None]
-                * new_scales[layer_idx, :, 0][:, :, None, :]
+                * new_ks[layer_idx][:, :, None, :]
             ) / np.sqrt(head_dim)
             probs = jax.nn.softmax(scores + bias, axis=-1)
         else:
@@ -372,8 +372,7 @@ def stream_chunk(
             # this block (or the whole decode loop) in lax.cond/switch
             # benched SLOWER than the full read, the branch boundary
             # copying the captured cache buffers every step/bar.
-            k_l = new_kv[layer_idx, :, :, :head_dim_k, :]
-            v_l = new_kv[layer_idx, :, :, head_dim_k:, :]
+            k_l, v_l = new_k[layer_idx], new_v[layer_idx]
             q_c = q.astype(compute_dtype)
 
             scores = jnp.concatenate([
@@ -404,15 +403,14 @@ def stream_chunk(
         if quant:
             # Fold the V slot scales into the probabilities, quantize the
             # result per (stream, head, query) and contract int8×int8.
-            pv = probs * new_scales[layer_idx, :, 1][:, :, None, :]
+            pv = probs * new_vs[layer_idx][:, :, None, :]
             p_amax = jnp.max(pv, axis=-1)
             p_scale = p_amax / 127.0
             p_q = jnp.round(
                 pv / jnp.maximum(p_scale[..., None], 1e-12)
             ).astype(jnp.int8)
             c32 = jnp.einsum(
-                "bhqc,bhdc->bqhd", p_q,
-                new_kv[layer_idx, :, :, head_dim_k:, :],
+                "bhqc,bhdc->bqhd", p_q, new_v[layer_idx],
                 preferred_element_type=jnp.int32,
             )
             ctx = (
@@ -431,9 +429,10 @@ def stream_chunk(
 
     h = _layer_norm(h, params["final_ln"]["scale"], params["final_ln"]["bias"], eps)
     logits = h.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
-    new_cache = {"kv": new_kv, "slot_pos": new_slot_pos}
+    new_cache = {"k": new_k, "v": new_v, "slot_pos": new_slot_pos}
     if quant:
-        new_cache["kv_scale"] = new_scales
+        new_cache["k_scale"] = new_ks
+        new_cache["v_scale"] = new_vs
     return logits, new_cache
 
 
@@ -629,7 +628,7 @@ def generate_song_stream(
         # lax.switch around the loop, a per-step lax.switch around only
         # the read+softmax+ctx block, and a chain of gated while_loops all
         # broke XLA's in-place aliasing of the carried cache (branch/loop
-        # boundaries copy the [L,B,H,2D,C] buffer). The loop stays
+        # boundaries copy the [L,B,H,D,C] buffers). The loop stays
         # branch-free; the only read narrowing is the STATIC `hist_read`
         # bound the engine derives at pack time.
         state = jax.lax.while_loop(cond, make_body(hist_read), state)

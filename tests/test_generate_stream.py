@@ -382,11 +382,12 @@ def test_stream_chunk_hist_read_equals_full(setup):
         # Junk K/V in the dead tail [24, hist): must not matter.
         junk = jnp.asarray(rng.normal(0, 3, (config.num_hidden_layers, B,
                                              config.num_attention_heads,
-                                             2 * config.head_dim, hist - 24)),
+                                             config.head_dim, hist - 24)),
                            jnp.bfloat16)
-        cache["kv"] = jax.lax.dynamic_update_slice(
-            cache["kv"], junk, (0, 0, 0, 0, 24)
-        )
+        for key in ("k", "v"):
+            cache[key] = jax.lax.dynamic_update_slice(
+                cache[key], junk, (0, 0, 0, 0, 24)
+            )
         return cache
 
     ids = jnp.asarray(rng.integers(6, 32, (B, 4)), jnp.int32)
@@ -426,4 +427,4 @@ def test_stream_chunk_hist_read_equals_full(setup):
     )
     # And the region read must NOT equal a read that exposes the junk:
     # sanity that the junk actually differs from zeros.
-    assert float(jnp.abs(cache["kv"][..., 30]).max()) > 0.5
+    assert float(jnp.abs(cache["k"][..., 30]).max()) > 0.5
