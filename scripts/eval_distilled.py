@@ -125,7 +125,11 @@ def main(argv=None) -> int:
     run = Path(args.run)
     vocab = Vocab.load(args.vocab)
     config = EtudeDecoderConfig.from_json_file(run / "etude_decoder_config.json")
-    params = load_params_only(run / "model", init_params(config, seed=0))
+    # A training run dir stores params under model/; the published artifact
+    # (checkpoints/decoder, scripts/publish_decoder.py) under latest.ckpt —
+    # accept both so A/Bs can run against the exact shipped weights.
+    params_dir = run / "model" if (run / "model").exists() else run / "latest.ckpt"
+    params = load_params_only(params_dir, init_params(config, seed=0))
 
     if args.teacher_forced_history and args.engine != "rebuild":
         logger.error("--teacher-forced-history requires --engine rebuild")

@@ -123,6 +123,11 @@ def run_beat(args):
 
     config = bt.BeatTransformerConfig()
     params = bt.init_params(config, seed=args.seed)
+    if getattr(args, "init_from", None):
+        from etude_tpu.utils.training import load_params_only
+
+        params = load_params_only(args.init_from, params)
+        logger.info(f"warm start from {args.init_from}")
     logger.info(f"beat model: {bt.param_count(params) / 1e6:.2f}M params")
     rng = np.random.default_rng(args.seed)
     T = args.beat_frames
